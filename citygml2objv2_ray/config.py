@@ -1,0 +1,79 @@
+"""Engine configuration.
+
+The reference keeps run state in mutable module globals
+(``config.py:1-7``, ``CityGML2OBJs.py:544-580``); here every tolerance and
+knob is one immutable dataclass passed explicitly into stages / actor
+constructors, so parallel workers can never observe torn state.
+
+Tolerances mirror the reference's scattered constants
+(SURVEY.md §7.4): planarity eps 0.01 (``polygon3dmodule.py:115``),
+segment-intersection eps 1e-5 (``polygon3dmodule.py:185``), normal-compare
+tol 0.1 (``polygon3dmodule.py:418``), vertical-polygon test |n_z| < 0.1
+(``polygon3dmodule.py:603``), bbox buffer 3.0 m
+(``componentseparationmodule.py:103-109``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# The 11 semantic surface classes of CityGML LOD2+ (CityGML2OBJs.py:559-562)
+SEMANTIC_CLASSES: tuple[str, ...] = (
+    "GroundSurface",
+    "WallSurface",
+    "RoofSurface",
+    "ClosureSurface",
+    "CeilingSurface",
+    "InteriorWallSurface",
+    "FloorSurface",
+    "OuterCeilingSurface",
+    "OuterFloorSurface",
+    "Door",
+    "Window",
+)
+OTHER_CLASS = "Other"
+OPENING_CLASSES: tuple[str, ...] = ("Door", "Window")
+
+# Classes whose exterior points feed the buffered bbox
+# (componentseparationmodule.py:74-101: Ground/Wall/Roof/Closure/OuterCeiling)
+BBOX_CLASSES: tuple[str, ...] = (
+    "GroundSurface",
+    "WallSurface",
+    "RoofSurface",
+    "ClosureSurface",
+    "OuterCeilingSurface",
+)
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # geometry tolerances (reference parity)
+    planarity_eps: float = 0.01          # polygon3dmodule.py:115
+    intersect_eps: float = 1e-5          # polygon3dmodule.py:185
+    normal_compare_tol: float = 0.1      # polygon3dmodule.py:418
+    vertical_nz_tol: float = 0.1         # polygon3dmodule.py:603
+    bbox_buffer: float = 3.0             # componentseparationmodule.py:103-109
+    vertex_round_decimals: int = 9       # exact-dedup key rounding for float64 xyz
+
+    # spatial grid (H3/S2 stand-in: integer lat/lng-style grid, SURVEY §2.F)
+    cell_size: float = 64.0              # world units per cell at the join resolution
+    knn_k: int = 3                       # kNN neighbours per image
+    knn_max_ring: int = 4                # max grid rings searched for neighbours
+
+    # skew handling
+    salt_buckets: int = 8                # sub-buckets for hot cells
+    hot_cell_threshold: int = 4096       # rows per cell above which salting kicks in
+
+    # batching
+    geometry_batch_size: int = 2048
+    image_batch_size: int = 256          # wide binary rows → small batches
+    join_batch_size: int = 8192
+
+    # mtl bucketize (CityGML2OBJs.py:383-411): 101 bins over [min, max]
+    mtl_bins: int = 101
+
+    semantic_classes: tuple[str, ...] = field(default=SEMANTIC_CLASSES)
+
+
+DEFAULT_CONFIG = EngineConfig()
