@@ -1,0 +1,200 @@
+"""Spatial index + join kernels (SURVEY.md §2.F — new design, not in the
+reference; generalizes its centroids (polygon3dmodule.py:338-358), bboxes
+(componentseparationmodule.py:63-121) and per-building grouping
+(CityGML2OBJs.py:613-770) into a broadcastable cell-sharded index).
+
+No shapely/h3 in this environment, so:
+
+- **cell encode**: int64 grid cell ``(ix << 32) | iy`` of a point at a fixed
+  resolution (``EngineConfig.cell_size``) — the H3/S2 stand-in;
+- **FootprintIndex**: per-cell buckets of footprint candidates (a footprint
+  registers in every cell its bbox overlaps — the STRtree-shard analog),
+  vectorized bbox prefilter + ray-cast point-in-polygon;
+- **kNN**: expanding-ring search over cell buckets, exact top-k by centroid
+  distance with a correct ring-bound termination.
+
+The index is built once on the small side, ``ray.put`` once, and fetched by
+each spatial-join actor in ``__init__`` — the big side never shuffles
+(partition-vs-broadcast, SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .config import DEFAULT_CONFIG, EngineConfig
+from .geom import point_in_ring_2d
+from .synth import grid_cell
+
+
+def cell_xy(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of ``grid_cell``: int64 cell → (ix, iy)."""
+    c = np.asarray(cell, dtype=np.int64)
+    ix = c >> 32
+    iy = (c & 0xFFFFFFFF).astype(np.int64)
+    # sign-extend iy (stored as low 32 bits)
+    iy = np.where(iy >= 1 << 31, iy - (1 << 32), iy)
+    return ix, iy
+
+
+def make_cell(ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
+    return (np.asarray(ix, np.int64) << 32) | (np.asarray(iy, np.int64) & 0xFFFFFFFF)
+
+
+class FootprintIndex:
+    """Broadcastable spatial index over the footprint table.
+
+    Holds plain numpy arrays (cheap to serialize through the object store):
+    bbox columns, centroid columns, ragged ring coordinates, and a
+    cell → candidate-indices map covering each footprint's bbox.
+    """
+
+    def __init__(self, footprints: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG):
+        self.cfg = cfg
+        self.building_id = np.asarray(footprints["building_id"])
+        self.xmin = np.asarray(footprints["xmin"], dtype=np.float64)
+        self.ymin = np.asarray(footprints["ymin"], dtype=np.float64)
+        self.xmax = np.asarray(footprints["xmax"], dtype=np.float64)
+        self.ymax = np.asarray(footprints["ymax"], dtype=np.float64)
+        self.ccx = (self.xmin + self.xmax) / 2
+        self.ccy = (self.ymin + self.ymax) / 2
+        rings = footprints["footprint"].to_pylist()
+        self.rings = [np.asarray(r, dtype=np.float64) for r in rings]
+
+        cs = cfg.cell_size
+        cell_map: dict[int, list[int]] = {}
+        for i in range(len(self.building_id)):
+            ix0, ix1 = int(self.xmin[i] // cs), int(self.xmax[i] // cs)
+            iy0, iy1 = int(self.ymin[i] // cs), int(self.ymax[i] // cs)
+            for ix in range(ix0, ix1 + 1):
+                for iy in range(iy0, iy1 + 1):
+                    cell_map.setdefault(int(make_cell(ix, iy)), []).append(i)
+        self.cell_map = {c: np.asarray(v, dtype=np.int64) for c, v in cell_map.items()}
+
+    # -- point-in-polygon assignment -------------------------------------
+
+    def assign(self, cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
+        """For each point, the index of the first footprint (ascending
+        footprint index, deterministic) containing it, or -1.
+
+        Vectorized per (cell, candidate): points are grouped by cell, then
+        each candidate ring is tested against all of the cell's points at
+        once with the ray-cast kernel.
+        """
+        cx = np.asarray(cx, dtype=np.float64)
+        cy = np.asarray(cy, dtype=np.float64)
+        out = np.full(len(cx), -1, dtype=np.int64)
+        cells = grid_cell(cx, cy, self.cfg.cell_size)
+        order = np.argsort(cells, kind="stable")
+        sorted_cells = cells[order]
+        bounds = np.flatnonzero(np.diff(sorted_cells)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(cells)]])
+        for s, e in zip(starts, ends):
+            cand = self.cell_map.get(int(sorted_cells[s]))
+            if cand is None:
+                continue
+            idx = order[s:e]
+            px, py = cx[idx], cy[idx]
+            unresolved = np.ones(len(idx), dtype=bool)
+            for fi in cand:  # ascending index → deterministic first-match
+                if not unresolved.any():
+                    break
+                u = np.flatnonzero(unresolved)
+                inb = (
+                    (px[u] >= self.xmin[fi])
+                    & (px[u] <= self.xmax[fi])
+                    & (py[u] >= self.ymin[fi])
+                    & (py[u] <= self.ymax[fi])
+                )
+                if not inb.any():
+                    continue
+                cand_pts = np.column_stack([px[u[inb]], py[u[inb]]])
+                inside = point_in_ring_2d(cand_pts, self.rings[fi])
+                hit = u[inb][inside]
+                out[idx[hit]] = fi
+                unresolved[hit] = False
+        return out
+
+    # -- k nearest neighbours --------------------------------------------
+
+    def knn(self, cx: np.ndarray, cy: np.ndarray, k: int | None = None):
+        """Exact top-k nearest footprint centroids per point via expanding
+        cell-ring search. Returns (indices (N,k) int64 padded with -1,
+        distances (N,k) float64 padded with inf).
+
+        Termination: a ring at offset r guarantees every unvisited candidate
+        is at least (r-1)*cell_size away, so once we hold k candidates whose
+        kth distance <= (r-1)*cell_size, the answer is exact.
+        """
+        k = k or self.cfg.knn_k
+        cx = np.asarray(cx, dtype=np.float64)
+        cy = np.asarray(cy, dtype=np.float64)
+        n = len(cx)
+        out_i = np.full((n, k), -1, dtype=np.int64)
+        out_d = np.full((n, k), np.inf, dtype=np.float64)
+
+        cells = grid_cell(cx, cy, self.cfg.cell_size)
+        order = np.argsort(cells, kind="stable")
+        sorted_cells = cells[order]
+        bounds = np.flatnonzero(np.diff(sorted_cells)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(cells)]])
+        cs = self.cfg.cell_size
+
+        for s, e in zip(starts, ends):
+            c = int(sorted_cells[s])
+            ix0, iy0 = cell_xy(np.array([c]))
+            ix0, iy0 = int(ix0[0]), int(iy0[0])
+            idx = order[s:e]
+            px, py = cx[idx], cy[idx]
+
+            gathered: list[np.ndarray] = []
+            seen = 0
+            for r in range(0, self.cfg.knn_max_ring + 1):
+                ring_cells = []
+                if r == 0:
+                    ring_cells.append((ix0, iy0))
+                else:
+                    for dx in range(-r, r + 1):
+                        ring_cells.append((ix0 + dx, iy0 - r))
+                        ring_cells.append((ix0 + dx, iy0 + r))
+                    for dy in range(-r + 1, r):
+                        ring_cells.append((ix0 - r, iy0 + dy))
+                        ring_cells.append((ix0 + r, iy0 + dy))
+                for gx, gy in ring_cells:
+                    cand = self.cell_map.get(int(make_cell(np.int64(gx), np.int64(gy))))
+                    if cand is not None:
+                        gathered.append(cand)
+                cand_all = (
+                    np.unique(np.concatenate(gathered)) if gathered else np.empty(0, np.int64)
+                )
+                seen = len(cand_all)
+                if seen >= k:
+                    d = np.hypot(
+                        px[:, None] - self.ccx[cand_all][None, :],
+                        py[:, None] - self.ccy[cand_all][None, :],
+                    )
+                    kth = np.partition(d, min(k, seen) - 1, axis=1)[:, min(k, seen) - 1]
+                    if np.all(kth <= r * cs) or r == self.cfg.knn_max_ring:
+                        break
+            if seen == 0:
+                continue
+            d = np.hypot(
+                px[:, None] - self.ccx[cand_all][None, :],
+                py[:, None] - self.ccy[cand_all][None, :],
+            )
+            kk = min(k, seen)
+            part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            rowd = np.take_along_axis(d, part, axis=1)
+            srt = np.argsort(rowd, axis=1, kind="stable")
+            part = np.take_along_axis(part, srt, axis=1)
+            rowd = np.take_along_axis(rowd, srt, axis=1)
+            out_i[idx, :kk] = cand_all[part]
+            out_d[idx, :kk] = rowd
+        return out_i, out_d
+
+
+def build_index(footprints: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> FootprintIndex:
+    return FootprintIndex(footprints, cfg)
