@@ -137,6 +137,8 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 def block_mean_8x8(gray: np.ndarray) -> np.ndarray:
     """Resize to 8x8 by block averaging (works for any H, W >= 8)."""
     h, w = gray.shape
+    if h % 8 == 0 and w % 8 == 0:  # vectorized fast path (hot in the pipeline)
+        return gray.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
     ys = (np.arange(9) * h) // 8
     xs = (np.arange(9) * w) // 8
     out = np.empty((8, 8), dtype=np.float64)

@@ -1,0 +1,127 @@
+"""Reusable scale-hygiene operators (SURVEY.md §4.2).
+
+- ``partial_groupby_sum``: combine inside ``map_batches`` (one row per key
+  per batch) before the global ``groupby`` — the shuffle moves partials,
+  not rows.
+- ``salted_groupby``: explicit skew handling for per-group logic — hot keys
+  are split into ``(key, salt)`` sub-groups, partial-reduced, then merged in
+  a second tiny groupby (north rule: "skew-salted groupby-shuffle for hot
+  urban cells").
+- ``exact_dedup_first``: hash-partitioned first-row-per-key (D1 analog).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def partial_groupby_sum(
+    ds: rd.Dataset,
+    key: str | list[str],
+    sum_cols: list[str],
+    count_alias: str = "n",
+) -> rd.Dataset:
+    """groupby(key).sum(sum_cols) + count, with per-batch pre-aggregation.
+
+    Emits columns named ``sum_<col>`` and ``<count_alias>``.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by(keys).aggregate(
+            [(c, "sum") for c in sum_cols] + [(keys[0], "count")]
+        )
+        rename = {f"{c}_sum": f"sum_{c}" for c in sum_cols}
+        rename[f"{keys[0]}_count"] = count_alias
+        return agg.rename_columns(
+            [rename.get(name, name) for name in agg.column_names]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    aggs = [Sum(f"sum_{c}", alias_name=f"sum_{c}") for c in sum_cols]
+    aggs.append(Sum(count_alias, alias_name=count_alias))
+    return partials.groupby(keys[0] if len(keys) == 1 else keys).aggregate(*aggs)
+
+
+def salted_groupby(
+    ds: rd.Dataset,
+    key: str,
+    reduce_batch,
+    merge_group,
+    salt_buckets: int = 8,
+    batch_format: str = "pandas",
+) -> rd.Dataset:
+    """Per-group reduction robust to hot keys.
+
+    1. add ``_salt = hash(row) % salt_buckets``;
+    2. ``reduce_batch``: within-batch partial reduce per (key, _salt) —
+       callable (DataFrame) -> DataFrame keeping key + _salt columns;
+    3. shuffle on (key, _salt) and reduce each sub-group with
+       ``reduce_batch`` again (sub-groups of a hot key land on different
+       reducers);
+    4. final tiny shuffle on key merging sub-group partials with
+       ``merge_group`` (DataFrame) -> DataFrame.
+    """
+
+    def add_salt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_salt"] = (
+            pd.util.hash_pandas_object(df[key], index=False).to_numpy() % salt_buckets
+        ).astype(np.int64)
+        return df
+
+    salted = ds.map_batches(add_salt, batch_format="pandas")
+    pre = salted.map_batches(reduce_batch, batch_format=batch_format)
+    sub = pre.groupby([key, "_salt"]).map_groups(reduce_batch, batch_format=batch_format)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = merge_group(df)
+        return out.drop(columns=["_salt"], errors="ignore")
+
+    return sub.groupby(key).map_groups(merge, batch_format=batch_format)
+
+
+def exact_dedup_first(
+    ds: rd.Dataset, key: str, order_col: str | None = None
+) -> rd.Dataset:
+    """One row per key — the first by ``order_col`` (or arbitrary-but-
+    deterministic minimum if given). Hash-partition on the key, per-group
+    head(1) (SURVEY.md D1; reference: order-of-first-appearance interning,
+    CityGML2OBJs.py:68-77). Pre-reduces within each batch first so the
+    shuffle moves at most one row per key per batch."""
+
+    def first_in_batch(df: pd.DataFrame) -> pd.DataFrame:
+        if order_col:
+            df = df.sort_values([key, order_col], kind="stable")
+        return df.groupby(key, sort=False).head(1)
+
+    pre = ds.map_batches(first_in_batch, batch_format="pandas")
+    return pre.groupby(key).map_groups(first_in_batch, batch_format="pandas")
+
+
+def broadcast_semi_anti_filter(
+    ds: rd.Dataset, col: str, keys_ref, anti: bool = False
+) -> rd.Dataset:
+    """Semi/anti join against a small broadcast key set (SURVEY.md D4 —
+    reference excludes opening polygons by identity scan,
+    CityGML2OBJs.py:755-765). ``keys_ref`` is a ``ray.put`` handle to a
+    set/array of keys; each task fetches it once via closure capture."""
+    import ray
+
+    def flt(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keys = ray.get(keys_ref)
+        mask = pc.is_in(batch[col], value_set=pa.array(list(keys)))
+        if anti:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+    return ds.map_batches(flt, batch_format="pyarrow")

@@ -1,0 +1,183 @@
+"""The flagship pipeline (north rule): spatial-join + tile assignment over
+the images fact table.
+
+    read_parquet(images)                      # pruned columns
+    → map_batches(cell_encode)                # H3/S2-analog cell, vectorized
+    → [resume filter]                         # drop completed partitions
+    → map_batches(SpatialJoin, actor pool)    # broadcast index: PIP + kNN
+    → map_batches(DecodeVerify, actor pool)   # decode + per-row invariants
+    → map_batches(RasterClip, actor pool)     # raster↔vector clip vs roof tris
+    → map_batches(PartitionedWriter)          # per-partition atomic files +
+                                              # lineage rows (resumable)
+    → tile stats: partial per-batch agg → tiny groupby (skew-safe)
+
+The big side streams with backpressure end to end — nothing materializes;
+the only driver-side tables are the small side (footprints/surfaces) and
+the final per-cell stats.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..ops import partial_groupby_sum
+from ..spatial import build_index
+from ..stages.images import DecodeClip, cell_encode
+from ..stages.join import SpatialJoin
+from ..state.checkpoint import CheckpointLog, make_partitioned_writer
+from .geometry import roof_tri2d
+
+N_OUTPUT_PARTS = 64  # output partition fan-out (hash of cell)
+STAGE = "assign"
+
+IMAGE_COLUMNS = [
+    "image_id", "bytes", "w", "h", "fmt", "caption", "phash", "cx", "cy",
+]
+
+
+@dataclass
+class FlagshipResult:
+    out_root: str
+    run_id: str
+    rows_written: int
+    tile_stats: "pa.Table"
+    wall_sec: float
+
+    def assignments(self) -> rd.Dataset:
+        log = CheckpointLog(self.out_root)
+        return rd.read_parquet(log.data_files())
+
+
+def run_flagship(
+    images_path: str,
+    surfaces: pa.Table,
+    footprints: pa.Table,
+    out_root: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    concurrency: int = 8,
+    resume: bool = True,
+    decode: bool = True,
+) -> FlagshipResult:
+    """Run the full pipeline. Ray must already be initialised by the caller
+    (driver contract). Resume: partitions recorded complete in the
+    checkpoint log are filtered out right after cell encode (with
+    hive-partitioned input this same predicate prunes at the read)."""
+    t0 = time.perf_counter()
+    run_id = uuid.uuid4().hex[:12]
+    log = CheckpointLog(out_root)
+
+    # ---- small side: broadcast once ------------------------------------
+    index_ref = ray.put(build_index(footprints, cfg))
+    tri2d_ref = ray.put(roof_tri2d(surfaces, cfg))
+
+    # ---- resume bookkeeping --------------------------------------------
+    completed: set[str] = set()
+    if resume:
+        lin = log.read_lineage().to_pandas()
+        if not lin.empty:
+            commits = lin[lin.stage == f"{STAGE}:commit"]
+            completed = set(commits.partition_id.tolist())
+            # wipe partial files of uncommitted partitions (idempotent rerun)
+            started = set(lin[lin.stage == STAGE].partition_id.tolist())
+            for pid in started - completed:
+                log.clear_partition(pid)
+
+    # ---- wide pipeline --------------------------------------------------
+    ds = rd.read_parquet(images_path, columns=IMAGE_COLUMNS)
+    ds = ds.map_batches(cell_encode, batch_format="pyarrow", fn_kwargs={"cfg": cfg})
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        cell = np.asarray(batch["cell"], dtype=np.int64)
+        # splitmix-style mix so adjacent cells spread over partitions
+        z = (cell.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        part = ((z ^ (z >> np.uint64(31))) % np.uint64(N_OUTPUT_PARTS)).astype(np.int64)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    ds = ds.map_batches(add_part, batch_format="pyarrow")
+
+    if completed:
+        done = pa.array([int(p) for p in completed], pa.int64())
+
+        def prune(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(pc.invert(pc.is_in(batch["part"], value_set=done)))
+
+        ds = ds.map_batches(prune, batch_format="pyarrow")
+
+    # Two autoscaling actor pools max (join; fused decode+clip) — every
+    # extra pool's minimum reservation starves the task-pool read/write
+    # stages on small CPU budgets. The writer is a stateless task pool.
+    ds = ds.map_batches(
+        SpatialJoin,
+        fn_constructor_args=(index_ref, cfg),
+        batch_format="pyarrow",
+        batch_size=cfg.join_batch_size,
+        concurrency=(1, concurrency),
+    )
+    if decode:
+        ds = ds.map_batches(
+            DecodeClip,
+            fn_constructor_args=(tri2d_ref, cfg),
+            batch_format="pyarrow",
+            batch_size=cfg.image_batch_size,
+            concurrency=(1, concurrency),
+        )
+
+    acks = ds.map_batches(
+        make_partitioned_writer(out_root, run_id, STAGE, "part", "image_id"),
+        batch_format="pyarrow",
+        batch_size=cfg.join_batch_size,
+    )
+    ack_df = acks.to_pandas()  # tiny: one row per (batch, partition)
+    rows_written = int(ack_df["rows"].sum()) if len(ack_df) else 0
+
+    # commit markers: every partition that finished this run
+    if rows_written:
+        for pid, n in ack_df.groupby("partition_id")["rows"].sum().items():
+            log.append(run_id, f"{STAGE}:commit", str(pid), int(n), int(n), 0, 0.0)
+
+    # ---- tile stats (skew-safe: partial per batch, tiny final groupby) --
+    files = log.data_files()
+    stats_cols = ["cell", "building_id", "roof_coverage"] if decode else ["cell", "building_id"]
+    out_ds = rd.read_parquet(files, columns=stats_cols)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        matched = pc.cast(pc.is_valid(batch["building_id"]), pa.float64())
+        t = pa.table({
+            "cell": batch["cell"],
+            "matched": matched,
+            "coverage": batch["roof_coverage"] if decode else pc.multiply(matched, 0.0),
+        })
+        return t
+
+    prepped = out_ds.map_batches(prep, batch_format="pyarrow")
+    tile_stats = (
+        partial_groupby_sum(prepped, "cell", ["matched", "coverage"])
+        .to_pandas()
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    tile_stats = pa.Table.from_pandas(tile_stats, preserve_index=False)
+
+    return FlagshipResult(
+        out_root=out_root,
+        run_id=run_id,
+        rows_written=rows_written,
+        tile_stats=tile_stats,
+        wall_sec=time.perf_counter() - t0,
+    )

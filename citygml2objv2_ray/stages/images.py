@@ -1,0 +1,162 @@
+"""Image stages: cell encode (stateless) and decode/verify/clip (actor pool).
+
+The images table has wide binary rows — decode stages run with small
+``batch_size`` (EngineConfig.image_batch_size) so batch x concurrency fits
+worker heaps (SURVEY.md §7.4 "wide binary rows").
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .. import codecs
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..synth import grid_cell
+
+# world units covered by one image pixel (tile ground resolution)
+PIXEL_SIZE = 0.25
+
+
+def cell_encode(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.Table:
+    """Add the int64 grid cell of each image centroid (the H3/S2-encode
+    analog) — a pure vectorized projection."""
+    cell = grid_cell(
+        np.asarray(batch["cx"], dtype=np.float64),
+        np.asarray(batch["cy"], dtype=np.float64),
+        cfg.cell_size,
+    )
+    return batch.append_column("cell", pa.array(cell, pa.int64()))
+
+
+class DecodeVerify:
+    """Actor-pool decode stage with an LRU decoded-tile cache.
+
+    Per row: decode ``bytes`` per ``fmt``, recompute the perceptual hash and
+    compare to the ``phash`` column (the in-pipeline form of the per-row
+    decoded-pixel invariant — exact for png; the fake-lossy codec decodes
+    to its quantized raster deterministically so the stored phash matches
+    bit-for-bit), and emit mean intensity features. Drops the heavy
+    ``bytes`` column from its output.
+    """
+
+    def __init__(self, cfg: EngineConfig = DEFAULT_CONFIG, cache_size: int = 256):
+        self.cfg = cfg
+        self.cache: OrderedDict[str, np.ndarray] = OrderedDict()
+        self.cache_size = cache_size
+        self.hits = 0
+        self.misses = 0
+
+    def _decode(self, image_id: str, data: bytes, fmt: str) -> np.ndarray:
+        rgb = self.cache.get(image_id)
+        if rgb is not None:
+            self.cache.move_to_end(image_id)
+            self.hits += 1
+            return rgb
+        self.misses += 1
+        rgb = codecs.decode_image(data, fmt)
+        self.cache[image_id] = rgb
+        if len(self.cache) > self.cache_size:
+            self.cache.popitem(last=False)
+        return rgb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch["image_id"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        phash = np.asarray(batch["phash"])
+        ok = np.zeros(n, dtype=bool)
+        mean_i = np.zeros(n, dtype=np.float64)
+        for i in range(n):
+            try:
+                rgb = self._decode(ids[i], blobs[i], fmts[i])
+            except (ValueError, NotImplementedError):
+                continue
+            ok[i] = codecs.phash64(rgb) == int(phash[i])
+            mean_i[i] = float(rgb.mean())
+        out = batch.drop_columns(["bytes"])
+        return out.append_column("pixel_ok", pa.array(ok)).append_column(
+            "mean_intensity", pa.array(mean_i)
+        )
+
+
+class RasterClip:
+    """Raster↔vector clip (SURVEY.md §2.F): for each image assigned to a
+    building, rasterize the building's triangulated roof faces over the
+    image's ground extent and emit pixel coverage + masked mean intensity.
+
+    The per-building 2-D triangle arrays are broadcast once (``ray.put`` on
+    the driver) and fetched per actor in ``__init__`` — never per batch.
+    Unassigned images pass through with coverage 0.
+    """
+
+    def __init__(self, tri2d_ref, cfg: EngineConfig = DEFAULT_CONFIG):
+        self.tri2d: dict[str, np.ndarray] = (
+            ray.get(tri2d_ref) if isinstance(tri2d_ref, ray.ObjectRef) else tri2d_ref
+        )
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cov = np.zeros(n, dtype=np.float64)
+        masked = np.full(n, np.nan, dtype=np.float64)
+        bids = batch["building_id"].to_pylist()
+        cx = np.asarray(batch["cx"], dtype=np.float64)
+        cy = np.asarray(batch["cy"], dtype=np.float64)
+        w = np.asarray(batch["w"], dtype=np.int64)
+        h = np.asarray(batch["h"], dtype=np.int64)
+        mean_i = (
+            np.asarray(batch["mean_intensity"], dtype=np.float64)
+            if "mean_intensity" in batch.column_names
+            else np.zeros(n)
+        )
+        for i in range(n):
+            bid = bids[i]
+            if bid is None:
+                continue
+            tris = self.tri2d.get(bid)
+            if tris is None or not len(tris):
+                continue
+            # pixel-center grid of the tile's ground extent
+            half_w = w[i] * PIXEL_SIZE / 2
+            half_h = h[i] * PIXEL_SIZE / 2
+            xs = cx[i] - half_w + (np.arange(w[i]) + 0.5) * PIXEL_SIZE
+            ys = cy[i] - half_h + (np.arange(h[i]) + 0.5) * PIXEL_SIZE
+            gx, gy = np.meshgrid(xs, ys)
+            pts = np.column_stack([gx.ravel(), gy.ravel()])
+            inside = np.zeros(len(pts), dtype=bool)
+            for t in tris:
+                inside |= _pts_in_tri2(pts, t)
+            cov[i] = float(inside.mean())
+            if inside.any():
+                masked[i] = mean_i[i]  # proxy: per-pixel values not retained here
+        return batch.append_column("roof_coverage", pa.array(cov)).append_column(
+            "masked_mean", pa.array(masked)
+        )
+
+
+class DecodeClip:
+    """Fused DecodeVerify + RasterClip actor (one pool instead of two: at a
+    fixed CPU budget every extra actor pool's minimum reservation starves
+    the task-pool stages — observed as a 4-pool deadlock on 4 CPUs)."""
+
+    def __init__(self, tri2d_ref, cfg: EngineConfig = DEFAULT_CONFIG, cache_size: int = 256):
+        self.decode = DecodeVerify(cfg, cache_size)
+        self.clip = RasterClip(tri2d_ref, cfg)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.clip(self.decode(batch))
+
+
+def _pts_in_tri2(p: np.ndarray, tri: np.ndarray) -> np.ndarray:
+    a, b, c = tri
+    d1 = (p[:, 0] - b[0]) * (a[1] - b[1]) - (a[0] - b[0]) * (p[:, 1] - b[1])
+    d2 = (p[:, 0] - c[0]) * (b[1] - c[1]) - (b[0] - c[0]) * (p[:, 1] - c[1])
+    d3 = (p[:, 0] - a[0]) * (c[1] - a[1]) - (c[0] - a[0]) * (p[:, 1] - a[1])
+    neg = (d1 < 0) | (d2 < 0) | (d3 < 0)
+    pos = (d1 > 0) | (d2 > 0) | (d3 > 0)
+    return ~(neg & pos)

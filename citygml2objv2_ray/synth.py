@@ -116,17 +116,23 @@ def _building_polys(bid: str, bseq: int, x0, y0, w, d, hgt, gabled, rng):
     return polys
 
 
-def _corrupt(ring: np.ndarray, mode: int) -> np.ndarray:
+def _corrupt(ring: np.ndarray, mode: int) -> tuple[np.ndarray, bool]:
+    """Returns (corrupted ring, still_valid). Mode 3 (repeated consecutive
+    point) is REPAIRED by ring cleaning — the reference cleans before it
+    validates (CityGML2OBJs.py:110-135) — so it stays valid."""
     if mode == 0:  # unclosed
-        return ring[:-1]
+        return ring[:-1], False
     if mode == 1:  # too few points
-        return ring[:3]
-    if mode == 2:  # non-planar (warp > eps 0.01)
+        return ring[:3], False
+    if mode == 2:  # non-planar: displace one vertex along the normal (> eps 0.01)
         r = ring.copy()
-        r[1] = r[1] + np.array([0, 0, 0.5])
-        return r
-    # repeated consecutive point
-    return np.insert(ring, 1, ring[1], axis=0)
+        n = geom.newell_normal(r)
+        if not n.any():
+            n = np.array([0.0, 0.0, 1.0])
+        r[1] = r[1] + 0.5 * n
+        return r, False
+    # repeated consecutive point — cleaned away downstream
+    return np.insert(ring, 1, ring[1], axis=0), True
 
 
 def make_city(
@@ -163,8 +169,7 @@ def make_city(
             ring = p["exterior"]
             valid = True
             if rng.random() < corruption and not p["is_opening"]:
-                ring = _corrupt(ring, int(rng.integers(0, 4)))
-                valid = False
+                ring, valid = _corrupt(ring, int(rng.integers(0, 4)))
             area = geom.gml_area(ring, p["interiors"]) if valid else 0.0
             srows.append(
                 dict(

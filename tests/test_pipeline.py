@@ -1,0 +1,156 @@
+"""End-to-end pipeline tests: geometry pipeline conformance against truth
+columns, flagship spatial-join + tiling with resume, determinism across
+parallelism (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+@pytest.fixture(scope="module")
+def city(ray_session):
+    from citygml2objv2_ray import synth
+
+    surfaces, footprints = synth.make_city(40, seed=42)
+    return surfaces, footprints
+
+
+@pytest.fixture(scope="module")
+def world(ray_session, tmp_path_factory):
+    from citygml2objv2_ray import synth
+
+    out = tmp_path_factory.mktemp("world")
+    paths = synth.generate_world(str(out), 0.0005, parallelism=2)  # 500 images
+    return paths
+
+
+class TestGeometryPipeline:
+    def test_triangle_areas_match_truth(self, city):
+        from citygml2objv2_ray.pipelines.geometry import triangulate_surfaces
+
+        surfaces, _ = city
+        tris = triangulate_surfaces(rd.from_arrow(surfaces)).to_pandas()
+        got = tris.groupby("poly_id").area.sum()
+        truth = surfaces.to_pandas().set_index("poly_id")
+        valid = truth[truth.truth_valid]
+        for pid, row in valid.iterrows():
+            assert got.get(pid, 0.0) == pytest.approx(row.truth_area, rel=1e-6), pid
+        # invalid polygons must produce no triangles
+        invalid = truth[~truth.truth_valid]
+        for pid in invalid.index:
+            assert pid not in got.index
+
+    def test_clean_validate_flags_match_truth(self, city):
+        from citygml2objv2_ray.stages.geometry import clean_validate
+
+        surfaces, _ = city
+        out = clean_validate(surfaces)
+        assert out["valid"].to_pylist() == surfaces["truth_valid"].to_pylist()
+
+    def test_opening_anti_join(self, city):
+        from citygml2objv2_ray.pipelines.geometry import opening_anti_join
+
+        surfaces, _ = city
+        res = opening_anti_join(rd.from_arrow(surfaces)).to_pandas()
+        assert not res.is_opening.any()
+        sdf = surfaces.to_pandas()
+        assert len(res) == (~sdf.is_opening).sum()
+
+    def test_building_bboxes(self, city):
+        from citygml2objv2_ray.pipelines.geometry import building_bboxes
+
+        surfaces, _ = city
+        df = building_bboxes(rd.from_arrow(surfaces))
+        sdf = surfaces.to_pandas()
+        one = sdf[sdf.building_id == df.building_id.iloc[0]]
+        allpts = np.concatenate([np.vstack(list(r)) for r in one.exterior])
+        assert df.xmin.iloc[0] == pytest.approx(allpts[:, 0].min() - 3.0)
+        assert df.zmax.iloc[0] == pytest.approx(allpts[:, 2].max() + 3.0)
+
+    def test_global_min_and_translate_roundtrip(self, city):
+        from citygml2objv2_ray.pipelines.geometry import (
+            global_min_vertex,
+            translate_surfaces,
+        )
+
+        surfaces, _ = city
+        ds = rd.from_arrow(surfaces)
+        mn = global_min_vertex(ds)
+        moved = translate_surfaces(ds, mn)
+        mn2 = global_min_vertex(moved)
+        assert np.allclose(mn2, 0.0)
+        back = translate_surfaces(moved, -mn)
+        orig_pts = np.vstack(list(surfaces.to_pandas().exterior.iloc[0]))
+        back_pts = np.vstack(list(back.to_pandas().exterior.iloc[0]))
+        assert np.array_equal(orig_pts, back_pts)  # exactly invertible
+
+
+class TestFlagship:
+    def test_end_to_end_and_truth(self, world, tmp_path):
+        import pyarrow.parquet as pq
+
+        from citygml2objv2_ray.pipelines.flagship import run_flagship
+
+        surfaces = pq.read_table(world["surfaces"])
+        footprints = pq.read_table(world["footprints"])
+        res = run_flagship(
+            world["images"], surfaces, footprints, str(tmp_path / "out"), concurrency=2
+        )
+        adf = res.assignments().to_pandas()
+        imgs = pq.read_table(world["images"]).to_pandas()
+        assert res.rows_written == len(imgs)
+        merged = adf.merge(
+            imgs[["image_id", "truth_building_id", "truth_cell"]], on="image_id"
+        )
+        # cell reproduction is exact
+        assert (merged.cell == merged.truth_cell).all()
+        # containment agreement (overlapping footprints may differ in WHICH id)
+        assert (
+            merged.building_id.notna() == merged.truth_building_id.notna()
+        ).all()
+        # per-row invariants: caption equality + decoded-pixel check
+        assert (merged.caption == imgs.set_index("image_id").caption[merged.image_id].values).all()
+        assert merged.pixel_ok.all()
+        # tile stats cover every observed cell
+        stats = res.tile_stats.to_pandas()
+        assert set(stats.cell) == set(adf.cell)
+        assert stats.n.sum() == len(imgs)
+
+    def test_resume_skips_completed(self, world, tmp_path):
+        import pyarrow.parquet as pq
+
+        from citygml2objv2_ray.pipelines.flagship import run_flagship
+
+        surfaces = pq.read_table(world["surfaces"])
+        footprints = pq.read_table(world["footprints"])
+        out = str(tmp_path / "out")
+        r1 = run_flagship(world["images"], surfaces, footprints, out, concurrency=2, decode=False)
+        assert r1.rows_written > 0
+        r2 = run_flagship(world["images"], surfaces, footprints, out, concurrency=2, decode=False)
+        assert r2.rows_written == 0  # everything committed → all pruned
+        # output rows are not duplicated
+        adf = r2.assignments().to_pandas()
+        assert adf.image_id.is_unique
+
+    def test_knn_first_neighbor_is_containing_building(self, world, tmp_path):
+        import pyarrow.parquet as pq
+
+        from citygml2objv2_ray.pipelines.flagship import run_flagship
+
+        surfaces = pq.read_table(world["surfaces"])
+        footprints = pq.read_table(world["footprints"])
+        res = run_flagship(
+            world["images"], surfaces, footprints, str(tmp_path / "o2"), concurrency=2, decode=False
+        )
+        adf = res.assignments().to_pandas()
+        hit = adf[adf.building_id.notna()]
+        # for images inside a rectangle footprint, the containing building's
+        # centroid is usually (not always) the nearest — just require the
+        # containing building among the k neighbours for >90%
+        frac = np.mean([b in ids for b, ids in zip(hit.building_id, hit.nn_ids)])
+        assert frac > 0.9
