@@ -1,0 +1,260 @@
+"""Text / dedup / similarity queries over documents+embeddings, with DuckDB
+oracles where SQL can express the op (otherwise rows-only; the pytest suite
+carries the brute-force oracle instead). Importing this module populates the
+same REGISTRY/ORACLE as ``relational``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from . import dedup as dd
+from . import text as tx
+from .relational import ORACLE, REGISTRY, _read, _t, query
+
+# ---------------------------------------------------------------------------
+# text analysis (SQL-checkable pieces)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_token_count",
+    """
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE CAST(array_length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           END AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_token_count(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df.doc_id,
+                "n_tokens": tx.token_count(df.text),
+                "n_chars": df.text.fillna("").str.len().astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas").to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+@query(
+    "q_quality",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(regexp_replace(text, '[^.,!?]', '', 'g')) AS BIGINT) AS n_punct,
+           ROUND(CASE WHEN length(text) > 0
+                 THEN length(regexp_replace(text, '[^.,!?]', '', 'g')) * 1.0 / length(text)
+                 ELSE 0 END, 6) AS punct_ratio
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_quality(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        n_chars, n_punct = tx.punct_stats(df.text)
+        ratio = np.round(np.where(n_chars > 0, n_punct / np.maximum(n_chars, 1), 0.0), 6)
+        return pd.DataFrame(
+            {"doc_id": df.doc_id, "n_chars": n_chars, "n_punct": n_punct, "punct_ratio": ratio}
+        )
+
+    return ds.map_batches(fn, batch_format="pandas").to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+@query(
+    "q_exact_dedup_docs",
+    """
+    SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+    FROM documents GROUP BY content_hash HAVING COUNT(*) > 1
+    ORDER BY content_hash
+    """,
+)
+def q_exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup: vectorized content hash per batch → partial counts →
+    tiny groupby; duplicate groups only."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(content_hash=tx.md5_hex(df.text))
+        g = df.groupby("content_hash", sort=False).agg(
+            n_docs=("doc_id", "size"), first_doc=("doc_id", "min")
+        )
+        return g.reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    from ray.data.aggregate import Min as RMin
+
+    agg = partials.groupby("content_hash").aggregate(
+        Sum("n_docs", alias_name="n_docs"), RMin("first_doc", alias_name="first_doc")
+    )
+    df = agg.to_pandas()
+    df = df[df.n_docs > 1].sort_values("content_hash").reset_index(drop=True)
+    df["n_docs"] = df["n_docs"].astype(np.int64)
+    return df
+
+
+# rows-only: heuristic language ID (accuracy asserted against the lang
+# column in pytest, not SQL-expressible)
+@query("q_langid")
+def q_langid(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        tx.TextScorer, batch_format="pandas", concurrency=(1, 4), batch_size=512
+    ).to_pandas()
+    return out[["doc_id", "lang_pred", "n_tokens", "fingerprint"]].sort_values("doc_id").reset_index(drop=True)
+
+
+# rows-only: simhash + minhash near-dup pairs (brute-force Jaccard oracle in pytest)
+@query("q_minhash_neardup")
+def q_minhash_neardup(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
+    """MinHash+LSH near-dup: shingle→minhash→bands (actor pool) → groupby
+    band buckets → candidate pairs → verify true char-shingle Jaccard."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bands = docs.map_batches(
+        dd.MinHashStage, batch_format="pandas", concurrency=(1, 4), batch_size=256
+    )
+    # bucket groupby: only buckets with >1 doc produce candidates
+    buckets = bands.to_pandas()
+    cand = dd.candidate_pairs_from_buckets(buckets)
+    if not len(cand):
+        return pd.DataFrame({"doc_a": pd.array([], dtype=np.int64), "doc_b": pd.array([], dtype=np.int64), "jaccard": pd.array([], dtype=float)})
+    texts = _read(sf_dir, "documents", ["doc_id", "text"]).to_pandas().set_index("doc_id")["text"]
+    sh: dict[int, set] = {}
+
+    def shingles(doc):
+        if doc not in sh:
+            sh[doc] = set(dd.char_shingles(texts.loc[doc]).tolist())
+        return sh[doc]
+
+    jac = np.array([dd.jaccard(shingles(a), shingles(b)) for a, b in zip(cand.doc_a, cand.doc_b)])
+    cand = cand.assign(jaccard=np.round(jac, 6))
+    out = cand[cand.jaccard >= threshold].reset_index(drop=True)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+@query("q_simhash")
+def q_simhash(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df.doc_id, "simhash": [dd.simhash64(t) for t in df.text.fillna("")]}
+        )
+
+    return ds.map_batches(fn, batch_format="pandas").to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# embeddings: ANN + near-dup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ann_topk",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+         s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                      list_cosine_similarity(q.embedding, e.embedding) AS cos
+               FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.vec_id)
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS score
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s)
+    WHERE rn <= 5 ORDER BY query_id, score DESC, neighbor_id
+    """,
+)
+def q_ann_topk(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-k (the ANN baseline): the 10 query vectors are
+    broadcast; each batch computes a partial top-k against its rows; driver
+    merges partials (k-bounded, no global sort)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    qtab = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qdf = qtab.to_pandas()
+    qdf = qdf[qdf.vec_id < 10]
+    Q = np.vstack(qdf.embedding.to_numpy()).astype(np.float64)
+    qids = qdf.vec_id.to_numpy()
+    q_ref = ray.put((qids, dd.normalize_rows(Q)))
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        qi, qn = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+        C = np.vstack(df.embedding.to_numpy()).astype(np.float64)
+        cn = dd.normalize_rows(C)
+        sims = qn @ cn.T  # (Q, rows)
+        vids = df.vec_id.to_numpy()
+        rows = []
+        for i, qid in enumerate(qi):
+            mask = vids != qid
+            s = sims[i][mask]
+            v = vids[mask]
+            k = min(5, len(s))
+            if k == 0:
+                continue
+            part = np.argpartition(-s, k - 1)[:k]
+            for j in part:
+                rows.append((qid, int(v[j]), float(s[j])))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos"])
+
+    partials = ds.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    out = []
+    for qid, g in partials.groupby("query_id"):
+        g = g.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(5)
+        out.append(g)
+    df = pd.concat(out).reset_index(drop=True)
+    df["score"] = df.cos.round(4)
+    df = df.drop(columns=["cos"])
+    df["query_id"] = df["query_id"].astype(np.int64)
+    df["neighbor_id"] = df["neighbor_id"].astype(np.int64)
+    return df.sort_values(["query_id", "score", "neighbor_id"], ascending=[True, False, True]).reset_index(drop=True)
+
+
+@query(
+    "q_embedding_neardup",
+    """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id AND a.label = b.label
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+    ORDER BY vec_a, vec_b
+    """,
+)
+def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-dup, label-blocked (the label is the natural
+    block key here; the hyperplane-LSH variant is exercised in pytest).
+    Per-label groups are reduced with an exact all-pairs cosine inside
+    map_groups — label groups are small; pairs, not rows, are the output."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def pairs_in_group(df: pd.DataFrame) -> pd.DataFrame:
+        V = np.vstack(df.embedding.to_numpy()).astype(np.float64)
+        vn = dd.normalize_rows(V)
+        sims = vn @ vn.T
+        ids = df.vec_id.to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        sims = sims[np.ix_(order, order)]
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = sims[ii, jj] >= 0.3
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ii[keep]].astype(np.int64),
+                "vec_b": ids[jj[keep]].astype(np.int64),
+                "cos": np.round(sims[ii, jj][keep], 4),
+            }
+        )
+
+    res = ds.groupby("label").map_groups(pairs_in_group, batch_format="pandas")
+    return res.to_pandas().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

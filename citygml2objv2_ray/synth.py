@@ -347,7 +347,14 @@ def generate_world(
 
     (
         rd.range(n_images, override_num_blocks=parallelism * 4)
-        .map_batches(ImageGen, batch_format="pyarrow", batch_size=512, concurrency=parallelism)
+        .map_batches(
+            ImageGen,
+            batch_format="pyarrow",
+            batch_size=512,
+            # autoscaling with headroom: a fixed pool == num_cpus starves the
+            # read/write task stages (observed deadlock)
+            concurrency=(1, max(1, parallelism - 2)),
+        )
         .write_parquet(paths["images"])
     )
     with open(done, "w") as f:
