@@ -55,8 +55,10 @@ def png_encode(rgb: np.ndarray) -> bytes:
 
 def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     """PNG scanline unfiltering (filters 0-4)."""
-    out = np.zeros((h, stride), dtype=np.uint8)
     rows = raw.reshape(h, stride + 1)
+    if not rows[:, 0].any():  # all filter-0 scanlines (our encoder's output)
+        return np.ascontiguousarray(rows[:, 1:])
+    out = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
         ft = rows[y, 0]
         line = rows[y, 1:].astype(np.int32)

@@ -65,10 +65,14 @@ class EngineConfig:
     salt_buckets: int = 8                # sub-buckets for hot cells
     hot_cell_threshold: int = 4096       # rows per cell above which salting kicks in
 
-    # batching
+    # batching — join batch also sets downstream BLOCK granularity: the
+    # decode pool's parallelism is bounded by upstream block count (tuned
+    # via ds.stats(): 8192 starved the decode pool to 13 tasks)
     geometry_batch_size: int = 2048
-    image_batch_size: int = 256          # wide binary rows → small batches
-    join_batch_size: int = 8192
+    image_batch_size: int = 512          # wide binary rows → smallish batches
+    join_batch_size: int = 1024
+    write_batch_size: int = 32768        # fewer, bigger part files per task
+    n_output_parts: int = 16             # output partition fan-out (resume unit)
 
     # mtl bucketize (CityGML2OBJs.py:383-411): 101 bins over [min, max]
     mtl_bins: int = 101

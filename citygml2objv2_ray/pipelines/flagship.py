@@ -24,20 +24,19 @@ import uuid
 from dataclasses import dataclass
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray
 import ray.data as rd
 
 from ..config import DEFAULT_CONFIG, EngineConfig
-from ..ops import partial_groupby_sum
 from ..spatial import build_index
 from ..stages.images import DecodeClip, cell_encode
 from ..stages.join import SpatialJoin
 from ..state.checkpoint import CheckpointLog, make_partitioned_writer
 from .geometry import roof_tri2d
 
-N_OUTPUT_PARTS = 64  # output partition fan-out (hash of cell)
 STAGE = "assign"
 
 IMAGE_COLUMNS = [
@@ -102,7 +101,7 @@ def run_flagship(
         z = (cell.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
         z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
         z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        part = ((z ^ (z >> np.uint64(31))) % np.uint64(N_OUTPUT_PARTS)).astype(np.int64)
+        part = ((z ^ (z >> np.uint64(31))) % np.uint64(cfg.n_output_parts)).astype(np.int64)
         return batch.append_column("part", pa.array(part, pa.int64()))
 
     ds = ds.map_batches(add_part, batch_format="pyarrow")
@@ -120,12 +119,16 @@ def run_flagship(
     # Two autoscaling actor pools max (join; fused decode+clip) — every
     # extra pool's minimum reservation starves the task-pool read/write
     # stages on small CPU budgets. The writer is a stateless task pool.
+    # pool mins sized to warm up fast without starving the task stages:
+    # join is ~20x cheaper per row than decode, so decode gets the bigger min
+    join_pool = (1, max(1, concurrency // 4))
+    decode_pool = (max(1, concurrency // 2), concurrency)
     ds = ds.map_batches(
         SpatialJoin,
         fn_constructor_args=(index_ref, cfg),
         batch_format="pyarrow",
         batch_size=cfg.join_batch_size,
-        concurrency=(1, concurrency),
+        concurrency=join_pool,
     )
     if decode:
         ds = ds.map_batches(
@@ -133,46 +136,41 @@ def run_flagship(
             fn_constructor_args=(tri2d_ref, cfg),
             batch_format="pyarrow",
             batch_size=cfg.image_batch_size,
-            concurrency=(1, concurrency),
+            concurrency=decode_pool,
         )
 
     acks = ds.map_batches(
         make_partitioned_writer(out_root, run_id, STAGE, "part", "image_id"),
         batch_format="pyarrow",
-        batch_size=cfg.join_batch_size,
+        batch_size=cfg.write_batch_size,
     )
-    ack_df = acks.to_pandas()  # tiny: one row per (batch, partition)
-    rows_written = int(ack_df["rows"].sum()) if len(ack_df) else 0
+    # acks = per-(write-batch, partition, cell) partial tile stats — tiny;
+    # a single driver-side reduce yields BOTH the commit bookkeeping and the
+    # per-cell tile stats with no second pass over the written output.
+    ack_df = acks.to_pandas()
+    rows_written = int(ack_df["n"].sum()) if len(ack_df) else 0
 
     # commit markers: every partition that finished this run
     if rows_written:
-        for pid, n in ack_df.groupby("partition_id")["rows"].sum().items():
-            log.append(run_id, f"{STAGE}:commit", str(pid), int(n), int(n), 0, 0.0)
+        lineage_rows = [
+            dict(
+                run_id=run_id, stage=f"{STAGE}:commit", partition_id=str(pid),
+                rows_in=int(n), rows_out=int(n), checksum=0, wall_sec=0.0,
+            )
+            for pid, n in ack_df.groupby("partition_id")["n"].sum().items()
+        ]
+        log.append_many(lineage_rows)
 
-    # ---- tile stats (skew-safe: partial per batch, tiny final groupby) --
-    files = log.data_files()
-    stats_cols = ["cell", "building_id", "roof_coverage"] if decode else ["cell", "building_id"]
-    out_ds = rd.read_parquet(files, columns=stats_cols)
-
-    def prep(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        matched = pc.cast(pc.is_valid(batch["building_id"]), pa.float64())
-        t = pa.table({
-            "cell": batch["cell"],
-            "matched": matched,
-            "coverage": batch["roof_coverage"] if decode else pc.multiply(matched, 0.0),
-        })
-        return t
-
-    prepped = out_ds.map_batches(prep, batch_format="pyarrow")
-    tile_stats = (
-        partial_groupby_sum(prepped, "cell", ["matched", "coverage"])
-        .to_pandas()
-        .sort_values("cell")
-        .reset_index(drop=True)
-    )
-    tile_stats = pa.Table.from_pandas(tile_stats, preserve_index=False)
+    if len(ack_df):
+        tile_df = (
+            ack_df.groupby("cell", as_index=False)[["sum_matched", "sum_coverage", "n"]]
+            .sum()
+            .sort_values("cell")
+            .reset_index(drop=True)
+        )
+    else:
+        tile_df = pd.DataFrame({"cell": [], "sum_matched": [], "sum_coverage": [], "n": []})
+    tile_stats = pa.Table.from_pandas(tile_df, preserve_index=False)
 
     return FlagshipResult(
         out_root=out_root,

@@ -126,13 +126,8 @@ class RasterClip:
             half_h = h[i] * PIXEL_SIZE / 2
             xs = cx[i] - half_w + (np.arange(w[i]) + 0.5) * PIXEL_SIZE
             ys = cy[i] - half_h + (np.arange(h[i]) + 0.5) * PIXEL_SIZE
-            gx, gy = np.meshgrid(xs, ys)
-            pts = np.column_stack([gx.ravel(), gy.ravel()])
-            inside = np.zeros(len(pts), dtype=bool)
-            for t in tris:
-                inside |= _pts_in_tri2(pts, t)
-            cov[i] = float(inside.mean())
-            if inside.any():
+            cov[i] = _coverage(xs, ys, tris)
+            if cov[i] > 0:
                 masked[i] = mean_i[i]  # proxy: per-pixel values not retained here
         return batch.append_column("roof_coverage", pa.array(cov)).append_column(
             "masked_mean", pa.array(masked)
@@ -152,11 +147,31 @@ class DecodeClip:
         return self.clip(self.decode(batch))
 
 
-def _pts_in_tri2(p: np.ndarray, tri: np.ndarray) -> np.ndarray:
-    a, b, c = tri
-    d1 = (p[:, 0] - b[0]) * (a[1] - b[1]) - (a[0] - b[0]) * (p[:, 1] - b[1])
-    d2 = (p[:, 0] - c[0]) * (b[1] - c[1]) - (b[0] - c[0]) * (p[:, 1] - c[1])
-    d3 = (p[:, 0] - a[0]) * (c[1] - a[1]) - (c[0] - a[0]) * (p[:, 1] - a[1])
+def _coverage(xs: np.ndarray, ys: np.ndarray, tris: np.ndarray) -> float:
+    """Fraction of the pixel grid (xs × ys centers) covered by any triangle.
+    Fully vectorized: bbox-prefilter the grid, then one broadcast
+    edge-function test over (pixels × triangles)."""
+    n_total = len(xs) * len(ys)
+    lo = tris.min(axis=(0, 1))
+    hi = tris.max(axis=(0, 1))
+    mx = (xs >= lo[0]) & (xs <= hi[0])
+    my = (ys >= lo[1]) & (ys <= hi[1])
+    if not mx.any() or not my.any():
+        return 0.0
+    gx, gy = np.meshgrid(xs[mx], ys[my])
+    px = gx.ravel()[:, None]  # (P,1)
+    py = gy.ravel()[:, None]
+    a, b, c = tris[:, 0], tris[:, 1], tris[:, 2]  # (T,2) each
+    d1 = (px - b[None, :, 0]) * (a[None, :, 1] - b[None, :, 1]) - (
+        a[None, :, 0] - b[None, :, 0]
+    ) * (py - b[None, :, 1])
+    d2 = (px - c[None, :, 0]) * (b[None, :, 1] - c[None, :, 1]) - (
+        b[None, :, 0] - c[None, :, 0]
+    ) * (py - c[None, :, 1])
+    d3 = (px - a[None, :, 0]) * (c[None, :, 1] - a[None, :, 1]) - (
+        c[None, :, 0] - a[None, :, 0]
+    ) * (py - a[None, :, 1])
     neg = (d1 < 0) | (d2 < 0) | (d3 < 0)
     pos = (d1 > 0) | (d2 > 0) | (d3 > 0)
-    return ~(neg & pos)
+    inside_any = (~(neg & pos)).any(axis=1)
+    return float(inside_any.sum()) / n_total

@@ -58,7 +58,7 @@ class CheckpointLog:
         checksum: int,
         wall_sec: float,
     ) -> None:
-        row = pa.Table.from_pylist(
+        self.append_many(
             [
                 dict(
                     run_id=run_id,
@@ -69,11 +69,18 @@ class CheckpointLog:
                     checksum=checksum,
                     wall_sec=wall_sec,
                 )
-            ],
-            schema=LINEAGE_SCHEMA,
+            ]
         )
+
+    def append_many(self, rows: list[dict]) -> None:
+        """One atomic lineage file per call (a write task batches all its
+        partitions into a single append — thousands of one-row files were a
+        measured bottleneck)."""
+        if not rows:
+            return
+        tab = pa.Table.from_pylist(rows, schema=LINEAGE_SCHEMA)
         tmp = os.path.join(self.lineage_dir, f".tmp-{uuid.uuid4().hex}")
-        pq.write_table(row, tmp)
+        pq.write_table(tab, tmp)
         os.rename(tmp, os.path.join(self.lineage_dir, f"{uuid.uuid4().hex}.parquet"))
 
     def read_lineage(self) -> pa.Table:
@@ -154,8 +161,11 @@ class PartitionedWriter:
         self.hash_col = hash_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         t0 = time.perf_counter()
         parts = np.asarray(batch[self.part_col])
+        lineage_rows = []
         acks_p, acks_n = [], []
         for p in np.unique(parts):
             mask = parts == p
@@ -166,17 +176,31 @@ class PartitionedWriter:
             checksum = int(np.bitwise_xor.reduce(key_bytes.astype(np.int64))) if len(key_bytes) else 0
             pid = str(int(p))
             self.log.write_partition_file(sub, pid, self.run_id)
-            self.log.append(
-                self.run_id,
-                self.stage,
-                pid,
-                int(mask.sum()),
-                sub.num_rows,
-                checksum,
-                time.perf_counter() - t0,
+            lineage_rows.append(
+                dict(
+                    run_id=self.run_id, stage=self.stage, partition_id=pid,
+                    rows_in=int(mask.sum()), rows_out=sub.num_rows,
+                    checksum=checksum, wall_sec=time.perf_counter() - t0,
+                )
             )
             acks_p.append(pid)
             acks_n.append(sub.num_rows)
-        return pa.table(
-            {"partition_id": pa.array(acks_p, pa.string()), "rows": pa.array(acks_n, pa.int64())}
+        self.log.append_many(lineage_rows)  # ONE lineage file per write task
+
+        # per-(partition, cell) partial tile stats ride along in the ack so
+        # the driver can aggregate tiles WITHOUT re-reading the output files
+        has_cov = "roof_coverage" in batch.column_names
+        stats_src = pa.table(
+            {
+                "partition_id": pa.array([str(int(p)) for p in parts], pa.string()),
+                "cell": batch["cell"],
+                "matched": pc.cast(pc.is_valid(batch["building_id"]), pa.float64()),
+                "coverage": batch["roof_coverage"] if has_cov
+                else pa.array(np.zeros(batch.num_rows)),
+            }
         )
+        agg = stats_src.group_by(["partition_id", "cell"]).aggregate(
+            [("matched", "sum"), ("coverage", "sum"), ("cell", "count")]
+        )
+        rename = {"matched_sum": "sum_matched", "coverage_sum": "sum_coverage", "cell_count": "n"}
+        return agg.rename_columns([rename.get(c, c) for c in agg.column_names])
