@@ -69,9 +69,9 @@ class EngineConfig:
     # decode pool's parallelism is bounded by upstream block count (tuned
     # via ds.stats(): 8192 starved the decode pool to 13 tasks)
     geometry_batch_size: int = 2048
-    image_batch_size: int = 512          # wide binary rows → smallish batches
-    join_batch_size: int = 1024
-    write_batch_size: int = 32768        # fewer, bigger part files per task
+    image_batch_size: int = 1024         # wide binary rows → smallish batches
+    join_batch_size: int = 1024          # small is fine: per-cell kNN sets cached
+    write_batch_size: int = 8192         # per write task (32k bundling stalled the stream)
     n_output_parts: int = 16             # output partition fan-out (resume unit)
 
     # mtl bucketize (CityGML2OBJs.py:383-411): 101 bins over [min, max]

@@ -32,8 +32,8 @@ import ray.data as rd
 
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..spatial import build_index
-from ..stages.images import DecodeClip, cell_encode
-from ..stages.join import SpatialJoin
+from ..stages.images import cell_encode, make_decode_clip_task
+from ..stages.join import make_join_task
 from ..state.checkpoint import CheckpointLog, make_partitioned_writer
 from .geometry import roof_tri2d
 
@@ -92,52 +92,38 @@ def run_flagship(
                 log.clear_partition(pid)
 
     # ---- wide pipeline --------------------------------------------------
-    ds = rd.read_parquet(images_path, columns=IMAGE_COLUMNS)
-    ds = ds.map_batches(cell_encode, batch_format="pyarrow", fn_kwargs={"cfg": cfg})
+    # ONE fused per-batch stage for cell encode + partition id + resume
+    # prune + spatial join + decode/clip: the `bytes` column is ~7KB/row
+    # and every stage boundary copies blocks through the object store, so
+    # explicit fusion cuts most of the per-row overhead. State is broadcast
+    # refs fetched once per worker process (task pool, not actor pool —
+    # elastic, zero ramp, no pool-sizing hazards).
+    join_task = make_join_task(index_ref, cfg)
+    decode_task = make_decode_clip_task(tri2d_ref, cfg) if decode else None
+    done = pa.array([int(p) for p in completed], pa.int64()) if completed else None
 
-    def add_part(batch: pa.Table) -> pa.Table:
+    def process(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = cell_encode(batch, cfg)
         cell = np.asarray(batch["cell"], dtype=np.int64)
         # splitmix-style mix so adjacent cells spread over partitions
-        z = (cell.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+        z = cell.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
         z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
         z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         part = ((z ^ (z >> np.uint64(31))) % np.uint64(cfg.n_output_parts)).astype(np.int64)
-        return batch.append_column("part", pa.array(part, pa.int64()))
+        batch = batch.append_column("part", pa.array(part, pa.int64()))
+        if done is not None:
+            batch = batch.filter(pc.invert(pc.is_in(batch["part"], value_set=done)))
+            if batch.num_rows == 0:
+                return batch.drop_columns(["bytes"]) if "bytes" in batch.column_names else batch
+        batch = join_task(batch)
+        if decode_task is not None:
+            batch = decode_task(batch)
+        return batch
 
-    ds = ds.map_batches(add_part, batch_format="pyarrow")
-
-    if completed:
-        done = pa.array([int(p) for p in completed], pa.int64())
-
-        def prune(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            return batch.filter(pc.invert(pc.is_in(batch["part"], value_set=done)))
-
-        ds = ds.map_batches(prune, batch_format="pyarrow")
-
-    # Two autoscaling actor pools max (join; fused decode+clip) — every
-    # extra pool's minimum reservation starves the task-pool read/write
-    # stages on small CPU budgets. The writer is a stateless task pool.
-    # pool mins sized to warm up fast without starving the task stages:
-    # join is ~20x cheaper per row than decode, so decode gets the bigger min
-    join_pool = (1, max(1, concurrency // 4))
-    decode_pool = (max(1, concurrency // 2), concurrency)
-    ds = ds.map_batches(
-        SpatialJoin,
-        fn_constructor_args=(index_ref, cfg),
-        batch_format="pyarrow",
-        batch_size=cfg.join_batch_size,
-        concurrency=join_pool,
-    )
-    if decode:
-        ds = ds.map_batches(
-            DecodeClip,
-            fn_constructor_args=(tri2d_ref, cfg),
-            batch_format="pyarrow",
-            batch_size=cfg.image_batch_size,
-            concurrency=decode_pool,
-        )
+    ds = rd.read_parquet(images_path, columns=IMAGE_COLUMNS)
+    ds = ds.map_batches(process, batch_format="pyarrow", batch_size=cfg.join_batch_size)
 
     acks = ds.map_batches(
         make_partitioned_writer(out_root, run_id, STAGE, "part", "image_id"),

@@ -71,6 +71,10 @@ class FootprintIndex:
                 for iy in range(iy0, iy1 + 1):
                     cell_map.setdefault(int(make_cell(ix, iy)), []).append(i)
         self.cell_map = {c: np.asarray(v, dtype=np.int64) for c, v in cell_map.items()}
+        # per-cell kNN candidate cache: cell → (candidates, ring_reached).
+        # Query cells repeat heavily across batches, and the Python
+        # ring-gather was the measured per-row hot spot at small batches.
+        self._knn_cache: dict[tuple[int, int], tuple[np.ndarray, int]] = {}
 
     # -- point-in-polygon assignment -------------------------------------
 
@@ -119,6 +123,43 @@ class FootprintIndex:
 
     # -- k nearest neighbours --------------------------------------------
 
+    def _gather_candidates(self, cell: int, k: int) -> tuple[np.ndarray, int]:
+        """Gather candidate footprints in expanding rings around ``cell``
+        until the result is exact for ANY query point inside the cell:
+        candidates within rings 0..r0 lie within (r0+1)*cs*sqrt(2) of every
+        cell point, and unvisited candidates beyond ring r lie at least
+        r*cs away — so gathering to r >= (r0+1)*sqrt(2) makes the top-k
+        point-independent (cacheable per cell)."""
+        ix0a, iy0a = cell_xy(np.array([cell]))
+        ix0, iy0 = int(ix0a[0]), int(iy0a[0])
+        gathered: list[np.ndarray] = []
+        r0 = None
+        r = 0
+        max_r = self.cfg.knn_max_ring
+        while r <= max_r:
+            if r == 0:
+                ring_cells = [(ix0, iy0)]
+            else:
+                ring_cells = [(ix0 + dx, iy0 - r) for dx in range(-r, r + 1)]
+                ring_cells += [(ix0 + dx, iy0 + r) for dx in range(-r, r + 1)]
+                ring_cells += [(ix0 - r, iy0 + dy) for dy in range(-r + 1, r)]
+                ring_cells += [(ix0 + r, iy0 + dy) for dy in range(-r + 1, r)]
+            for gx, gy in ring_cells:
+                cand = self.cell_map.get((gx << 32) | (gy & 0xFFFFFFFF))
+                if cand is not None:
+                    gathered.append(cand)
+            n_seen = sum(len(g) for g in gathered)
+            if r0 is None and n_seen >= k:
+                r0 = r
+            if r0 is not None and r >= np.ceil((r0 + 1) * 1.415):
+                break
+            r += 1
+        r = min(r, max_r)
+        cand_all = (
+            np.unique(np.concatenate(gathered)) if gathered else np.empty(0, np.int64)
+        )
+        return cand_all, r
+
     def knn(self, cx: np.ndarray, cy: np.ndarray, k: int | None = None):
         """Exact top-k nearest footprint centroids per point via expanding
         cell-ring search. Returns (indices (N,k) int64 padded with -1,
@@ -145,46 +186,32 @@ class FootprintIndex:
 
         for s, e in zip(starts, ends):
             c = int(sorted_cells[s])
-            ix0, iy0 = cell_xy(np.array([c]))
-            ix0, iy0 = int(ix0[0]), int(iy0[0])
             idx = order[s:e]
             px, py = cx[idx], cy[idx]
 
-            gathered: list[np.ndarray] = []
-            seen = 0
-            for r in range(0, self.cfg.knn_max_ring + 1):
-                ring_cells = []
-                if r == 0:
-                    ring_cells.append((ix0, iy0))
-                else:
-                    for dx in range(-r, r + 1):
-                        ring_cells.append((ix0 + dx, iy0 - r))
-                        ring_cells.append((ix0 + dx, iy0 + r))
-                    for dy in range(-r + 1, r):
-                        ring_cells.append((ix0 - r, iy0 + dy))
-                        ring_cells.append((ix0 + r, iy0 + dy))
-                for gx, gy in ring_cells:
-                    cand = self.cell_map.get(int(make_cell(np.int64(gx), np.int64(gy))))
-                    if cand is not None:
-                        gathered.append(cand)
-                cand_all = (
-                    np.unique(np.concatenate(gathered)) if gathered else np.empty(0, np.int64)
-                )
-                seen = len(cand_all)
-                if seen >= k:
-                    d = np.hypot(
-                        px[:, None] - self.ccx[cand_all][None, :],
-                        py[:, None] - self.ccy[cand_all][None, :],
-                    )
-                    kth = np.partition(d, min(k, seen) - 1, axis=1)[:, min(k, seen) - 1]
-                    if np.all(kth <= r * cs) or r == self.cfg.knn_max_ring:
-                        break
+            cached = self._knn_cache.get((c, k))
+            if cached is None:
+                cached = self._gather_candidates(c, k)
+                self._knn_cache[(c, k)] = cached
+            cand_all, r = cached
+            seen = len(cand_all)
             if seen == 0:
                 continue
             d = np.hypot(
                 px[:, None] - self.ccx[cand_all][None, :],
                 py[:, None] - self.ccy[cand_all][None, :],
             )
+            if seen > k:
+                # exactness check for THESE points: unvisited candidates lie
+                # >= r*cs away; if some point's kth candidate is farther,
+                # fall back to brute force over all footprints (rare)
+                kth = np.partition(d, k - 1, axis=1)[:, k - 1]
+                if not np.all(kth <= r * cs):
+                    cand_all = np.arange(len(self.building_id), dtype=np.int64)
+                    seen = len(cand_all)
+                    d = np.hypot(
+                        px[:, None] - self.ccx[None, :], py[:, None] - self.ccy[None, :]
+                    )
             kk = min(k, seen)
             part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
             rowd = np.take_along_axis(d, part, axis=1)

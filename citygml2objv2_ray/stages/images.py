@@ -147,6 +147,25 @@ class DecodeClip:
         return self.clip(self.decode(batch))
 
 
+_WORKER_CACHE: dict = {}
+
+
+def make_decode_clip_task(tri2d_ref, cfg: EngineConfig = DEFAULT_CONFIG):
+    """Stateless task-pool form of DecodeClip: the roof-triangle dict is
+    fetched once per worker process (module-global cache). Task pools beat
+    actor pools here — state is a cheap broadcast lookup, so elastic
+    scheduling and zero pool-ramp outweigh actor-state amortization."""
+    key = ("dc", tri2d_ref.hex() if hasattr(tri2d_ref, "hex") else id(tri2d_ref))
+
+    def decode_clip_task(batch: pa.Table) -> pa.Table:
+        dc = _WORKER_CACHE.get(key)
+        if dc is None:
+            dc = _WORKER_CACHE[key] = DecodeClip(tri2d_ref, cfg)
+        return dc(batch)
+
+    return decode_clip_task
+
+
 def _coverage(xs: np.ndarray, ys: np.ndarray, tris: np.ndarray) -> float:
     """Fraction of the pixel grid (xs × ys centers) covered by any triangle.
     Fully vectorized: bbox-prefilter the grid, then one broadcast

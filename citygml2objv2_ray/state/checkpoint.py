@@ -163,11 +163,13 @@ class PartitionedWriter:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        from concurrent.futures import ThreadPoolExecutor
+
         t0 = time.perf_counter()
         parts = np.asarray(batch[self.part_col])
         lineage_rows = []
-        acks_p, acks_n = [], []
-        for p in np.unique(parts):
+
+        def write_one(p) -> dict:
             mask = parts == p
             sub = batch.filter(pa.array(mask))
             key_bytes = pd.util.hash_pandas_object(
@@ -176,15 +178,16 @@ class PartitionedWriter:
             checksum = int(np.bitwise_xor.reduce(key_bytes.astype(np.int64))) if len(key_bytes) else 0
             pid = str(int(p))
             self.log.write_partition_file(sub, pid, self.run_id)
-            lineage_rows.append(
-                dict(
-                    run_id=self.run_id, stage=self.stage, partition_id=pid,
-                    rows_in=int(mask.sum()), rows_out=sub.num_rows,
-                    checksum=checksum, wall_sec=time.perf_counter() - t0,
-                )
+            return dict(
+                run_id=self.run_id, stage=self.stage, partition_id=pid,
+                rows_in=int(mask.sum()), rows_out=sub.num_rows,
+                checksum=checksum, wall_sec=time.perf_counter() - t0,
             )
-            acks_p.append(pid)
-            acks_n.append(sub.num_rows)
+
+        uniq = np.unique(parts)
+        # parquet write + filter release the GIL — overlap the per-part IO
+        with ThreadPoolExecutor(max_workers=min(8, max(1, len(uniq)))) as ex:
+            lineage_rows = list(ex.map(write_one, uniq))
         self.log.append_many(lineage_rows)  # ONE lineage file per write task
 
         # per-(partition, cell) partial tile stats ride along in the ack so
