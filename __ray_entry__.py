@@ -157,7 +157,7 @@ def _q_phash_dup_groups(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from citygml2objv2_ray import relational, relational_ml  # noqa: F401
+    from citygml2objv2_ray import relational, relational_ext, relational_ml  # noqa: F401
 
     q = dict(relational.REGISTRY)
     q.update(
@@ -174,6 +174,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from citygml2objv2_ray import relational, relational_ml  # noqa: F401
+    from citygml2objv2_ray import relational, relational_ext, relational_ml  # noqa: F401
 
     return dict(relational.ORACLE)

@@ -1,0 +1,201 @@
+"""Extended operator queries: skew-salted groupby, session windows,
+phash-band near-dup, hyperplane-LSH embedding near-dup. Importing populates
+the shared REGISTRY/ORACLE (see ``relational``)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from . import dedup as dd
+from .ops import salted_groupby
+from .relational import _read, query
+
+
+@query(
+    "q_term_counts_salted",
+    """
+    SELECT term, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(trim(text), ' ')) AS term
+          FROM documents WHERE trim(text) <> '')
+    GROUP BY term ORDER BY term
+    """,
+)
+def q_term_counts_salted(sf_dir: str) -> pd.DataFrame:
+    """Global term frequencies via the EXPLICIT skew-salted groupby path
+    (ops.salted_groupby — north rule: 'skew-salted groupby-shuffle for hot
+    urban cells'): natural-language term distributions are Zipfian, so the
+    hot terms ('the', 'a') are exactly the hot-key case; each hot term's
+    rows are split across salt sub-buckets, partial-reduced on different
+    reducers, then merged in a tiny final groupby."""
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        stripped = df.text.fillna("").str.strip()
+        stripped = stripped[stripped != ""]
+        terms = stripped.str.split(" ").explode()
+        out = pd.DataFrame({"term": terms})
+        out["n"] = 1
+        return out
+
+    exploded = docs.map_batches(explode, batch_format="pandas")
+
+    def reduce_batch(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ["term", "_salt"] if "_salt" in df.columns else ["term"]
+        return df.groupby(keys, sort=False, as_index=False)["n"].sum()
+
+    def merge_group(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("term", sort=False, as_index=False)["n"].sum()
+
+    res = salted_groupby(exploded, "term", reduce_batch, merge_group, salt_buckets=8)
+    out = res.to_pandas().sort_values("term").reset_index(drop=True)
+    out["n"] = out.n.astype(np.int64)
+    return out[["term", "n"]]
+
+
+@query(
+    "q_sessionize",
+    """
+    WITH d AS (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS e FROM events),
+         m AS (SELECT *, CASE WHEN e - LAG(e) OVER w > 1800000000
+                              OR LAG(e) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+               FROM d WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id)),
+         s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY e, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+               FROM m)
+    SELECT user_id, CAST(sid AS BIGINT) AS session_id, COUNT(*) AS n_events,
+           MIN(e) AS session_start, MAX(e) AS session_end
+    FROM s GROUP BY user_id, sid ORDER BY user_id, session_id
+    """,
+)
+def q_sessionize(sf_dir: str) -> pd.DataFrame:
+    """Session windows (30-min inactivity gap) — the streaming-shaped op
+    over the ordered events log (SURVEY.md §2.F: no watermarks in the
+    reference or Ray Data; sessions = per-key sorted gap-split inside
+    ``map_groups``)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    GAP = 1_800_000_000  # 30 min in µs
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        e = g.ts.values.astype("datetime64[us]").astype(np.int64)
+        g = g.assign(e=e).sort_values(["e", "event_id"], kind="stable")
+        new_s = np.concatenate([[1], (np.diff(g.e.to_numpy()) > GAP).astype(np.int64)])
+        sid = np.cumsum(new_s)
+        g = g.assign(session_id=sid)
+        out = g.groupby("session_id", as_index=False).agg(
+            user_id=("user_id", "first"),
+            n_events=("e", "size"),
+            session_start=("e", "min"),
+            session_end=("e", "max"),
+        )
+        return out[["user_id", "session_id", "n_events", "session_start", "session_end"]]
+
+    res = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    df = res.to_pandas().sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    for c in ("session_id", "n_events", "session_start", "session_end"):
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
+# rows-only: perceptual-hash near-dup via band LSH over the synthetic
+# images table (verified against brute-force hamming in pytest)
+@query("q_phash_neardup")
+def q_phash_neardup(sf_dir: str, max_hamming: int = 8) -> pd.DataFrame:
+    """Near-duplicate images by phash: 4 x 16-bit band LSH (two images
+    within hamming distance h <= 8 share at least one of 4 bands by
+    pigeonhole when h < 4... strictly when h <= 3 bands*1; with h <= 8 the
+    band trick is a candidate generator, recall verified in tests) →
+    exact hamming verify inside each bucket."""
+    from .worlds import load_world, sf_of_dir
+
+    images_path, _, _ = load_world(sf_of_dir(sf_dir))
+    ds = rd.read_parquet(images_path, columns=["image_id", "phash"])
+
+    def bands(df: pd.DataFrame) -> pd.DataFrame:
+        ph = df.phash.to_numpy().astype(np.int64).view(np.uint64)
+        rows = []
+        for b in range(4):
+            band = ((ph >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            rows.append(pd.DataFrame({"image_id": df.image_id, "band": b, "key": band}))
+        return pd.concat(rows)
+
+    banded = ds.map_batches(bands, batch_format="pandas").to_pandas()
+    full = ds.to_pandas().set_index("image_id").phash
+    pairs = set()
+    for _, g in banded.groupby(["band", "key"]):
+        ids = sorted(g.image_id.unique())
+        if len(ids) > 50:  # pathological bucket guard
+            ids = ids[:50]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    if not pairs:
+        return pd.DataFrame({"img_a": [], "img_b": [], "hamming": []})
+    a, b = zip(*sorted(pairs))
+    ha = full.loc[list(a)].to_numpy()
+    hb = full.loc[list(b)].to_numpy()
+    from .codecs import hamming64
+
+    hd = hamming64(ha, hb)
+    keep = hd <= max_hamming
+    return (
+        pd.DataFrame(
+            {
+                "img_a": np.array(a)[keep],
+                "img_b": np.array(b)[keep],
+                "hamming": hd[keep].astype(np.int64),
+            }
+        )
+        .sort_values(["img_a", "img_b"])
+        .reset_index(drop=True)
+    )
+
+
+# rows-only: hyperplane-LSH embedding near-dup (the scale path; label-blocked
+# exact variant is SQL-checked as q_embedding_neardup)
+@query("q_embedding_neardup_lsh")
+def q_embedding_neardup_lsh(sf_dir: str, threshold: float = 0.3) -> pd.DataFrame:
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        V = np.vstack(df.embedding.to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "vec_id": df.vec_id,
+                "bucket": dd.hyperplane_buckets(V, n_planes=8, seed=11),
+                "embedding": df.embedding,
+            }
+        )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []})
+        V = np.vstack(g.embedding.to_numpy()).astype(np.float64)
+        vn = dd.normalize_rows(V)
+        sims = vn @ vn.T
+        ids = g.vec_id.to_numpy()
+        order = np.argsort(ids)
+        ids, sims = ids[order], sims[np.ix_(order, order)]
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = sims[ii, jj] >= threshold
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ii[keep]].astype(np.int64),
+                "vec_b": ids[jj[keep]].astype(np.int64),
+                "cos": np.round(sims[ii, jj][keep], 4),
+            }
+        )
+
+    res = (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )
+    df = res.to_pandas()
+    if not len(df):
+        return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []})
+    return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

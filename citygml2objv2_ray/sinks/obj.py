@@ -100,7 +100,9 @@ def assemble_obj_class(
             lines.append(f"o {row.building_id}")
         v = np.asarray(row.verts, dtype=np.float64).reshape(-1, 3)
         for p in v:
-            lines.append(f"v {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}")
+            # full-precision shortest repr: exact float round-trip (the
+            # reference also writes str(float) — CityGML2OBJs.py:61-65)
+            lines.append(f"v {p[0]!r} {p[1]!r} {p[2]!r}")
         if mtl_values is not None and mtl_range is not None:
             val = mtl_values.get(row.building_id)
             if val is not None:
