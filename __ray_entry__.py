@@ -156,6 +156,54 @@ def _q_phash_dup_groups(sf_dir: str):
     return df
 
 
+def _q_components(sf_dir: str):
+    """Component-separation sidecar table (§3.3 parity, rows-only)."""
+    import ray.data as rd
+
+    from citygml2objv2_ray import worlds
+    from citygml2objv2_ray.pipelines.components import (
+        component_sidecars,
+        separate_components,
+    )
+
+    _, surfaces, _ = worlds.load_world(worlds.sf_of_dir(sf_dir))
+    df = component_sidecars(separate_components(rd.from_arrow(surfaces)))
+    for c in ["xmin", "ymin", "zmin", "xmax", "ymax", "zmax", "tx", "ty", "tz"]:
+        df[c] = df[c].round(6)
+    return df
+
+
+def _q_ann_ivf(sf_dir: str):
+    """IVF ANN top-5 for the first 20 vectors (rows-only; recall vs brute
+    force asserted in pytest)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from citygml2objv2_ray.ann import IVFIndex
+
+    tab = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    df = tab.to_pandas()
+    V = np.vstack(df.embedding.to_numpy()).astype(np.float64)
+    ids = df.vec_id.to_numpy()
+    idx = IVFIndex(ids, V, n_lists=16)
+    nq = min(20, len(ids))
+    aid, sc = idx.search(V[:nq], k=5, nprobe=6, exclude_ids=ids[:nq])
+    rows = []
+    for qi in range(nq):
+        for r in range(5):
+            if aid[qi, r] is not None:
+                rows.append(
+                    dict(
+                        query_id=int(ids[qi]),
+                        rank=r,
+                        neighbor_id=int(aid[qi, r]),
+                        score=round(float(sc[qi, r]), 4),
+                    )
+                )
+    return pd.DataFrame(rows)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from citygml2objv2_ray import relational, relational_ext, relational_ml  # noqa: F401
 
@@ -168,6 +216,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "q_semantic_areas": _q_semantic_areas,
             "q_building_bboxes": _q_building_bboxes,
             "q_phash_dup_groups": _q_phash_dup_groups,
+            "q_components": _q_components,
+            "q_ann_ivf": _q_ann_ivf,
         }
     )
     return q
