@@ -39,6 +39,20 @@ from .geometry import roof_tri2d
 
 STAGE = "assign"
 
+
+def _hive_parts(images_path: str) -> list[str] | None:
+    """part values of a hive-partitioned images dir, or None if the input
+    is not partitioned by ``part``."""
+    try:
+        subs = [
+            d.split("=", 1)[1]
+            for d in os.listdir(images_path)
+            if d.startswith("part=") and os.path.isdir(os.path.join(images_path, d))
+        ]
+    except (FileNotFoundError, NotADirectoryError):
+        return None
+    return subs or None
+
 IMAGE_COLUMNS = [
     "image_id", "bytes", "w", "h", "fmt", "caption", "phash", "cx", "cy",
 ]
@@ -122,7 +136,33 @@ def run_flagship(
             batch = decode_task(batch)
         return batch
 
-    ds = rd.read_parquet(images_path, columns=IMAGE_COLUMNS)
+    # resume pruning at the READ when the input is hive-partitioned by
+    # `part` (synth worlds v2 are; see spatial.part_of_cell) — completed
+    # partitions' files never leave storage. Falls back to the in-stream
+    # prune (inside `process`) for unpartitioned inputs.
+    read_kwargs: dict = {}
+    hive_parts = _hive_parts(images_path)
+    if completed and hive_parts is not None:
+        done_strs = {str(int(p)) for p in completed}
+        pending = [p for p in hive_parts if p not in done_strs]
+        if not pending:  # everything committed → nothing to read at all
+            return FlagshipResult(
+                out_root=out_root, run_id=run_id, rows_written=0,
+                tile_stats=pa.table(
+                    {"cell": pa.array([], pa.int64()),
+                     "sum_matched": pa.array([], pa.float64()),
+                     "sum_coverage": pa.array([], pa.float64()),
+                     "n": pa.array([], pa.int64())}
+                ),
+                wall_sec=time.perf_counter() - t0,
+            )
+        from ray.data.datasource.partitioning import PathPartitionFilter
+
+        read_kwargs["partition_filter"] = PathPartitionFilter.of(
+            lambda kv: kv.get("part") not in done_strs, style="hive"
+        )
+        done = None  # read-level pruning supersedes the stream filter
+    ds = rd.read_parquet(images_path, columns=IMAGE_COLUMNS, **read_kwargs)
     ds = ds.map_batches(process, batch_format="pyarrow", batch_size=cfg.join_batch_size)
 
     acks = ds.map_batches(

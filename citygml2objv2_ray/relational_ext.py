@@ -101,6 +101,29 @@ def q_sessionize(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+@query(
+    "q_join_native",
+    """
+    SELECT o.o_orderkey, c.c_name, ROUND(o.o_totalprice, 4) AS o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_orderkey
+    """,
+)
+def q_join_native(sf_dir: str) -> pd.DataFrame:
+    """Ray Data's NATIVE hash-partitioned ``Dataset.join`` (available in
+    this Ray version) — the both-sides-large path; contrast with the
+    broadcast joins used elsewhere (q_revenue_by_nation) where one side is
+    small (SURVEY.md §4.2 partition-vs-broadcast)."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    joined = orders.join(
+        cust, "inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+    df = joined.to_pandas()[["o_orderkey", "c_name", "o_totalprice"]]
+    df["o_totalprice"] = df.o_totalprice.round(4)
+    return df.sort_values("o_orderkey").reset_index(drop=True)
+
+
 # rows-only: perceptual-hash near-dup via band LSH over the synthetic
 # images table (verified against brute-force hamming in pytest)
 @query("q_phash_neardup")

@@ -345,6 +345,19 @@ def generate_world(
         def __call__(self, batch: pa.Table) -> pa.Table:
             return make_image_rows(np.asarray(batch["id"]), self.fp, seed=seed, cfg=cfg)
 
+    def add_part(batch: pa.Table) -> pa.Table:
+        # hive layout key: same part function the engine uses for resume,
+        # so completed output partitions prune at the READ (COVERAGE F)
+        from .spatial import part_of_cell
+
+        cell = grid_cell(
+            np.asarray(batch["cx"], dtype=np.float64),
+            np.asarray(batch["cy"], dtype=np.float64),
+            cfg.cell_size,
+        )
+        part = part_of_cell(cell, cfg.n_output_parts)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
     (
         rd.range(n_images, override_num_blocks=parallelism * 4)
         .map_batches(
@@ -355,7 +368,8 @@ def generate_world(
             # read/write task stages (observed deadlock)
             concurrency=(1, max(1, parallelism - 2)),
         )
-        .write_parquet(paths["images"])
+        .map_batches(add_part, batch_format="pyarrow")
+        .write_parquet(paths["images"], partition_cols=["part"])
     )
     with open(done, "w") as f:
         f.write("ok")

@@ -25,8 +25,9 @@ def sf_of_dir(sf_dir: str) -> float:
 
 
 def world_paths(sf: float, parallelism: int = 8) -> dict[str, str]:
-    """Materialize (once) and return the synthetic world for a scale factor."""
-    out_dir = os.path.join(CACHE_ROOT, f"sf{sf:g}")
+    """Materialize (once) and return the synthetic world for a scale factor.
+    v2: images hive-partitioned by ``part`` (read-level resume pruning)."""
+    out_dir = os.path.join(CACHE_ROOT, f"sf{sf:g}-v2")
     return synth.generate_world(out_dir, sf, parallelism=parallelism)
 
 
