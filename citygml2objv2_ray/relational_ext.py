@@ -102,6 +102,33 @@ def q_sessionize(sf_dir: str) -> pd.DataFrame:
 
 
 @query(
+    "q_distinct_users",
+    "SELECT COUNT(DISTINCT user_id) AS n_users FROM events",
+)
+def q_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Exact distinct count via per-batch local distinct then global unique
+    (shuffle moves at most one row per key per batch)."""
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["user_id"]).aggregate([])
+
+    n = len(ds.map_batches(local_distinct, batch_format="pyarrow").unique("user_id"))
+    return pd.DataFrame([{"n_users": np.int64(n)}])
+
+
+# rows-only: HLL approximate distinct (result is approximate by design —
+# pytest asserts relative error < 3% against the exact count)
+@query("q_hll_distinct_users")
+def q_hll_distinct_users(sf_dir: str) -> pd.DataFrame:
+    from .sketch import approx_distinct
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    est = approx_distinct(ds, "user_id")
+    return pd.DataFrame([{"n_users_approx": round(float(est), 1)}])
+
+
+@query(
     "q_join_native",
     """
     SELECT o.o_orderkey, c.c_name, ROUND(o.o_totalprice, 4) AS o_totalprice
