@@ -59,7 +59,7 @@ def run_bench() -> dict:
 
     from citygml2objv2_ray import worlds
     from citygml2objv2_ray.pipelines.flagship import run_flagship
-    from citygml2objv2_ray import relational, relational_ml  # noqa: F401
+    from citygml2objv2_ray import relational, relational_ext, relational_ml  # noqa: F401
 
     sf = worlds.sf_of_dir(SF_DIR)
     # world generation is one-time input materialization (cached, untimed)
@@ -93,7 +93,11 @@ def run_bench() -> dict:
         "q1_pricing_summary",
         "q_count_by_flag",
         "q_window_hourly",
+        "q_sliding_window",
+        "q_sessionize",
         "q_dedup_first_event",
+        "q_term_counts_salted",
+        "q_join_native",
         "q_ann_topk",
         "q_exact_dedup_docs",
     ]:

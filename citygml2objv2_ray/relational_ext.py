@@ -102,6 +102,52 @@ def q_sessionize(sf_dir: str) -> pd.DataFrame:
 
 
 @query(
+    "q_sliding_window",
+    """
+    WITH d AS (SELECT event_type, value, CAST(epoch_us(ts) AS BIGINT) AS e FROM events),
+         w AS (SELECT event_type, value,
+                      unnest([ (e // 1800000000) * 1800000000,
+                               (e // 1800000000) * 1800000000 - 1800000000 ]) AS window_start
+               FROM d)
+    SELECT event_type, window_start, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM w GROUP BY event_type, window_start
+    ORDER BY event_type, window_start
+    """,
+)
+def q_sliding_window(sf_dir: str) -> pd.DataFrame:
+    """Sliding window (width 1h, slide 30min): each event lands in exactly
+    two windows — explode per batch, partial-aggregate, tiny final groupby
+    (the windowed-aggregate gap of SURVEY §2.F)."""
+    from ray.data.aggregate import Sum as RSum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    S = 1_800_000_000  # slide in µs
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        e = df.ts.values.astype("datetime64[us]").astype(np.int64)
+        base = (e // S) * S
+        out = pd.concat(
+            [
+                pd.DataFrame({"event_type": df.event_type, "window_start": base, "value": df.value}),
+                pd.DataFrame({"event_type": df.event_type, "window_start": base - S, "value": df.value}),
+            ]
+        )
+        g = out.groupby(["event_type", "window_start"], sort=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        )
+        return g.reset_index()
+
+    partials = ds.map_batches(explode, batch_format="pandas")
+    agg = partials.groupby(["event_type", "window_start"]).aggregate(
+        RSum("n", alias_name="n"), RSum("sum_value", alias_name="sum_value")
+    )
+    df = agg.to_pandas().sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    df["n"] = df.n.astype(np.int64)
+    df["sum_value"] = df.sum_value.round(4)
+    return df
+
+
+@query(
     "q_distinct_users",
     "SELECT COUNT(DISTINCT user_id) AS n_users FROM events",
 )
