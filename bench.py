@@ -132,7 +132,9 @@ def run_scaling_child() -> dict:
     images_path, surfaces, footprints = worlds.load_world(SCALING_SF, parallelism=NUM_CPUS)
     best = None
     rows = 0
-    for _ in range(2):
+    # best-of-3: this sandbox VM shows one-sided noise (host steal) of up
+    # to ~40% run-to-run; min is the robust steady-state estimator
+    for _ in range(3):
         out_root = f"/tmp/citygml2objv2_ray_bench/{_uuid.uuid4().hex[:8]}"
         t0 = _time.perf_counter()
         res = run_flagship(
@@ -143,6 +145,37 @@ def run_scaling_child() -> dict:
         rows = res.rows_written
         best = dt if best is None else min(best, dt)
     return {"sec": round(best, 3), "rows": rows, "num_cpus": NUM_CPUS, "sf": SCALING_SF}
+
+
+def hw_control(lo: int, hi: int) -> float:
+    """Hardware parallel-efficiency control: plain multiprocessing (no Ray),
+    fixed zlib+numpy work per worker — the same instruction mix as the
+    decode-dominated pipeline. wall(lo)/wall(hi) is the ceiling the HOST
+    grants for lo→hi scaling at this moment (this sandbox VM's effective
+    memory bandwidth / steal varies over time; see BASELINE.md)."""
+    import multiprocessing as mp
+
+    def one(nw: int) -> float:
+        t0 = time.perf_counter()
+        with mp.get_context("spawn").Pool(nw) as p:
+            p.map(_burn, range(nw))
+        return time.perf_counter() - t0
+
+    one(lo)  # warm pool spawn path
+    return min(one(lo), one(lo)) / min(one(hi), one(hi))
+
+
+def _burn(n: int) -> float:
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(n)
+    data = rng.integers(0, 256, size=(1 << 20,), dtype=np.uint8).tobytes()
+    t0 = time.perf_counter()
+    for _ in range(30):
+        zlib.decompress(zlib.compress(data, 1))
+    return time.perf_counter() - t0
 
 
 def run_scaling() -> dict:
@@ -167,6 +200,7 @@ def run_scaling() -> dict:
     hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
     r_lo = one(lo)
     r_hi = one(hi)
+    hw = hw_control(lo, hi)
     tp_lo = r_lo["rows"] / r_lo["sec"]
     tp_hi = r_hi["rows"] / r_hi["sec"]
     eff = tp_hi / (tp_lo * (hi / lo))
@@ -177,6 +211,8 @@ def run_scaling() -> dict:
         f"throughput_rows_s_{lo}": round(tp_lo, 1),
         f"throughput_rows_s_{hi}": round(tp_hi, 1),
         "scaling_efficiency": round(eff, 3),
+        "hardware_ceiling": round(hw, 3),
+        "software_scaling_efficiency": round(min(1.0, eff / hw), 3),
         "sf": r_lo["sf"],
         "rows": r_lo["rows"],
     }

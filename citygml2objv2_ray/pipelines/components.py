@@ -22,7 +22,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from .. import geom
-from ..config import DEFAULT_CONFIG, OPENING_CLASSES, EngineConfig
+from ..config import DEFAULT_CONFIG, EngineConfig
 from ..hull import approx_window_hull, corner_marker_triangles
 
 

@@ -17,8 +17,6 @@ from __future__ import annotations
 import glob
 import os
 
-import numpy as np
-
 import ray
 import ray.data as rd
 

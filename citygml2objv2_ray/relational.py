@@ -178,8 +178,6 @@ def q_mtl_bucketize(sf_dir: str) -> pd.DataFrame:
 )
 def q_count_by_flag(sf_dir: str) -> pd.DataFrame:
     """D3 shape (per-class fan-out counts) with partial pre-aggregation."""
-    from .ops import partial_groupby_sum
-
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
 
     def partial(batch: pa.Table) -> pa.Table:

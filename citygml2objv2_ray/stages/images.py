@@ -147,6 +147,49 @@ class DecodeClip:
         return self.clip(self.decode(batch))
 
 
+class Resize:
+    """Decode → resize (area/block mean for downscale, nearest for upscale)
+    → re-encode stage. Emits resized bytes + new dims; heavy binary rows →
+    small batches (brief: decode / feature-extract / RESIZE / frame-sample
+    as map_batches stages)."""
+
+    def __init__(self, target: int = 32, cfg: EngineConfig = DEFAULT_CONFIG):
+        self.target = target
+        self.cfg = cfg
+
+    @staticmethod
+    def _resize(rgb: np.ndarray, t: int) -> np.ndarray:
+        h, w, _ = rgb.shape
+        if h == t and w == t:
+            return rgb
+        if h >= t and w >= t and h % t == 0 and w % t == 0:
+            # exact block-mean downscale
+            return (
+                rgb.reshape(t, h // t, t, w // t, 3).mean(axis=(1, 3)).astype(np.uint8)
+            )
+        yi = (np.arange(t) * h // t).clip(0, h - 1)
+        xi = (np.arange(t) * w // t).clip(0, w - 1)
+        return rgb[yi][:, xi]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .. import codecs
+
+        out_bytes, out_w, out_h = [], [], []
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        for blob, fmt in zip(blobs, fmts):
+            rgb = codecs.decode_image(blob, fmt)
+            small = self._resize(rgb, self.target)
+            out_bytes.append(codecs.encode_image(small, fmt))
+            out_h.append(small.shape[0])
+            out_w.append(small.shape[1])
+        i = batch.column_names.index("bytes")
+        batch = batch.set_column(i, "bytes", pa.array(out_bytes, pa.binary()))
+        batch = batch.set_column(batch.column_names.index("w"), "w", pa.array(out_w, pa.int32()))
+        batch = batch.set_column(batch.column_names.index("h"), "h", pa.array(out_h, pa.int32()))
+        return batch
+
+
 _WORKER_CACHE: dict = {}
 
 

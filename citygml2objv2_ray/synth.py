@@ -369,7 +369,21 @@ def generate_world(
             concurrency=(1, max(1, parallelism - 2)),
         )
         .map_batches(add_part, batch_format="pyarrow")
-        .write_parquet(paths["images"], partition_cols=["part"])
+        # co-locate rows of a partition before the hive write: without this
+        # every generator block fans out one small file PER part (measured
+        # 512 files and a 35% read slowdown at sf0.4); sorted, each part
+        # gets a handful of large files
+        .sort("part")
+        .write_parquet(
+            paths["images"],
+            partition_cols=["part"],
+            # file/row-group sizing: one giant file per part starves read
+            # parallelism at high CPU counts; per-block one-file-per-part
+            # fans out hundreds of tiny files (35% slower). ~25k rows
+            # (~170MB decoded, ~80MB on disk) per file splits well.
+            max_rows_per_file=8192,
+            row_group_size=8192,
+        )
     )
     with open(done, "w") as f:
         f.write("ok")

@@ -13,7 +13,6 @@ import re
 import pyarrow.parquet as pq
 
 from . import synth
-from .config import DEFAULT_CONFIG, EngineConfig
 
 CACHE_ROOT = os.environ.get("GRAFT_WORLD_CACHE", "/tmp/citygml2objv2_ray_worlds")
 
@@ -26,8 +25,8 @@ def sf_of_dir(sf_dir: str) -> float:
 
 def world_paths(sf: float, parallelism: int = 8) -> dict[str, str]:
     """Materialize (once) and return the synthetic world for a scale factor.
-    v2: images hive-partitioned by ``part`` (read-level resume pruning)."""
-    out_dir = os.path.join(CACHE_ROOT, f"sf{sf:g}-v2")
+    v3: images hive-partitioned by ``part``, part-sorted (few large files) (read-level resume pruning)."""
+    out_dir = os.path.join(CACHE_ROOT, f"sf{sf:g}-v5")
     return synth.generate_world(out_dir, sf, parallelism=parallelism)
 
 

@@ -170,3 +170,35 @@ class TestMultimodal:
             _decode_audio(b"ID3...", "mp3")
         with pytest.raises(NotImplementedError):
             _decode_video_frame(b"\x00\x00\x00 ftypmp42", "mp4", 0)
+
+
+class TestResize:
+    def test_resize_stage(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from citygml2objv2_ray import codecs, synth
+        from citygml2objv2_ray.stages.images import Resize
+
+        _, fp = synth.make_city(5, seed=42)
+        imgs = synth.make_image_rows(np.arange(12), fp, seed=42)
+        out = (
+            rd.from_arrow(imgs)
+            .map_batches(Resize, fn_constructor_args=(16,), batch_format="pyarrow",
+                         batch_size=4, concurrency=(1, 2))
+            .to_pandas()
+        )
+        assert (out.w == 16).all() and (out.h == 16).all()
+        for row in out.itertuples():
+            dec = codecs.decode_image(row.bytes, row.fmt)
+            assert dec.shape == (16, 16, 3)
+
+    def test_block_mean_downscale_exact(self):
+        from citygml2objv2_ray.stages.images import Resize
+
+        rgb = np.zeros((32, 32, 3), dtype=np.uint8)
+        rgb[:16] = 100
+        rgb[16:] = 200
+        small = Resize._resize(rgb, 2)
+        assert small.shape == (2, 2, 3)
+        assert np.all(small[0] == 100) and np.all(small[1] == 200)
