@@ -135,16 +135,64 @@ class RasterClip:
 
 
 class DecodeClip:
-    """Fused DecodeVerify + RasterClip actor (one pool instead of two: at a
-    fixed CPU budget every extra actor pool's minimum reservation starves
-    the task-pool stages — observed as a 4-pool deadlock on 4 CPUs)."""
+    """Truly fused decode + verify + raster↔vector clip: each tile is
+    decoded ONCE; the phash invariant, mean intensity, roof coverage AND
+    the masked mean over the ACTUAL pixels inside the clipped faces all
+    come from that single decode (the separate RasterClip stage only sees
+    aggregate features; fusing gives the real per-pixel masked statistics
+    the north star's raster↔vector clip calls for)."""
 
     def __init__(self, tri2d_ref, cfg: EngineConfig = DEFAULT_CONFIG, cache_size: int = 256):
         self.decode = DecodeVerify(cfg, cache_size)
-        self.clip = RasterClip(tri2d_ref, cfg)
+        self.tri2d: dict[str, np.ndarray] = (
+            ray.get(tri2d_ref) if isinstance(tri2d_ref, ray.ObjectRef) else tri2d_ref
+        )
+        self.cfg = cfg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return self.clip(self.decode(batch))
+        from .. import codecs
+
+        n = batch.num_rows
+        ids = batch["image_id"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        bids = batch["building_id"].to_pylist()
+        phash = np.asarray(batch["phash"])
+        cx = np.asarray(batch["cx"], dtype=np.float64)
+        cy = np.asarray(batch["cy"], dtype=np.float64)
+        ok = np.zeros(n, dtype=bool)
+        mean_i = np.zeros(n, dtype=np.float64)
+        cov = np.zeros(n, dtype=np.float64)
+        masked = np.full(n, np.nan, dtype=np.float64)
+        for i in range(n):
+            try:
+                rgb = self.decode._decode(ids[i], blobs[i], fmts[i])
+            except (ValueError, NotImplementedError):
+                continue
+            ok[i] = codecs.phash64(rgb) == int(phash[i])
+            mean_i[i] = float(rgb.mean())
+            bid = bids[i]
+            if bid is None:
+                continue
+            tris = self.tri2d.get(bid)
+            if tris is None or not len(tris):
+                continue
+            h_px, w_px = rgb.shape[0], rgb.shape[1]
+            half_w = w_px * PIXEL_SIZE / 2
+            half_h = h_px * PIXEL_SIZE / 2
+            xs = cx[i] - half_w + (np.arange(w_px) + 0.5) * PIXEL_SIZE
+            ys = cy[i] - half_h + (np.arange(h_px) + 0.5) * PIXEL_SIZE
+            mask = _coverage_mask(xs, ys, tris)  # (h, w) bool
+            cov[i] = float(mask.mean())
+            if mask.any():
+                masked[i] = float(rgb[mask].mean())  # TRUE per-pixel masked mean
+        out = batch.drop_columns(["bytes"])
+        return (
+            out.append_column("pixel_ok", pa.array(ok))
+            .append_column("mean_intensity", pa.array(mean_i))
+            .append_column("roof_coverage", pa.array(cov))
+            .append_column("masked_mean", pa.array(masked))
+        )
 
 
 class Resize:
@@ -210,16 +258,21 @@ def make_decode_clip_task(tri2d_ref, cfg: EngineConfig = DEFAULT_CONFIG):
 
 
 def _coverage(xs: np.ndarray, ys: np.ndarray, tris: np.ndarray) -> float:
-    """Fraction of the pixel grid (xs × ys centers) covered by any triangle.
-    Fully vectorized: bbox-prefilter the grid, then one broadcast
+    """Fraction of the pixel grid covered by any triangle."""
+    return float(_coverage_mask(xs, ys, tris).mean())
+
+
+def _coverage_mask(xs: np.ndarray, ys: np.ndarray, tris: np.ndarray) -> np.ndarray:
+    """(len(ys), len(xs)) bool mask of pixel centers covered by any
+    triangle. Fully vectorized: bbox-prefilter the grid, then one broadcast
     edge-function test over (pixels × triangles)."""
-    n_total = len(xs) * len(ys)
+    full = np.zeros((len(ys), len(xs)), dtype=bool)
     lo = tris.min(axis=(0, 1))
     hi = tris.max(axis=(0, 1))
     mx = (xs >= lo[0]) & (xs <= hi[0])
     my = (ys >= lo[1]) & (ys <= hi[1])
     if not mx.any() or not my.any():
-        return 0.0
+        return full
     gx, gy = np.meshgrid(xs[mx], ys[my])
     px = gx.ravel()[:, None]  # (P,1)
     py = gy.ravel()[:, None]
@@ -236,4 +289,6 @@ def _coverage(xs: np.ndarray, ys: np.ndarray, tris: np.ndarray) -> float:
     neg = (d1 < 0) | (d2 < 0) | (d3 < 0)
     pos = (d1 > 0) | (d2 > 0) | (d3 > 0)
     inside_any = (~(neg & pos)).any(axis=1)
-    return float(inside_any.sum()) / n_total
+    sub = inside_any.reshape(int(my.sum()), int(mx.sum()))
+    full[np.ix_(my, mx)] = sub
+    return full

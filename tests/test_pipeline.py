@@ -154,3 +154,48 @@ class TestFlagship:
         # containing building among the k neighbours for >90%
         frac = np.mean([b in ids for b, ids in zip(hit.building_id, hit.nn_ids)])
         assert frac > 0.9
+
+
+class TestMaskedMean:
+    def test_masked_mean_is_true_pixel_mean(self, world, ray_session):
+        """The fused clip's masked_mean must equal the mean of the ACTUAL
+        decoded pixels inside the roof mask (recomputed independently)."""
+        import pyarrow.parquet as pq
+        import glob
+
+        from citygml2objv2_ray import codecs
+        from citygml2objv2_ray.pipelines.geometry import roof_tri2d
+        from citygml2objv2_ray.stages.images import (
+            PIXEL_SIZE,
+            DecodeClip,
+            _coverage_mask,
+            cell_encode,
+        )
+        from citygml2objv2_ray.stages.join import SpatialJoin
+        from citygml2objv2_ray.spatial import build_index
+
+        surfaces = pq.read_table(world["surfaces"])
+        footprints = pq.read_table(world["footprints"])
+        files = sorted(glob.glob(world["images"] + "/**/*.parquet", recursive=True))
+        tab = pa.concat_tables(
+            [pq.read_table(f).drop_columns([]) for f in files[:6]]
+        ).combine_chunks()
+        batch = cell_encode(tab)
+        sj = SpatialJoin(build_index(footprints))
+        batch = sj(batch)
+        tri2d = roof_tri2d(surfaces)
+        out = DecodeClip(tri2d)(batch).to_pandas()
+        src = tab.to_pandas().set_index("image_id")
+        checked = 0
+        for row in out.itertuples():
+            if row.building_id is None or row.roof_coverage == 0:
+                continue
+            rgb = codecs.decode_image(src.loc[row.image_id, "bytes"], row.fmt)
+            h, w = rgb.shape[:2]
+            xs = row.cx - w * PIXEL_SIZE / 2 + (np.arange(w) + 0.5) * PIXEL_SIZE
+            ys = row.cy - h * PIXEL_SIZE / 2 + (np.arange(h) + 0.5) * PIXEL_SIZE
+            mask = _coverage_mask(xs, ys, tri2d[row.building_id])
+            assert row.masked_mean == pytest.approx(float(rgb[mask].mean()))
+            assert row.roof_coverage == pytest.approx(float(mask.mean()))
+            checked += 1
+        assert checked > 5
