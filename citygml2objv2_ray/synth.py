@@ -381,8 +381,8 @@ def generate_world(
             # parallelism at high CPU counts; per-block one-file-per-part
             # fans out hundreds of tiny files (35% slower). ~25k rows
             # (~170MB decoded, ~80MB on disk) per file splits well.
-            max_rows_per_file=8192,
-            row_group_size=8192,
+            max_rows_per_file=4096,
+            row_group_size=4096,
         )
     )
     with open(done, "w") as f:

@@ -26,7 +26,7 @@ def sf_of_dir(sf_dir: str) -> float:
 def world_paths(sf: float, parallelism: int = 8) -> dict[str, str]:
     """Materialize (once) and return the synthetic world for a scale factor.
     v3: images hive-partitioned by ``part``, part-sorted (few large files) (read-level resume pruning)."""
-    out_dir = os.path.join(CACHE_ROOT, f"sf{sf:g}-v5")
+    out_dir = os.path.join(CACHE_ROOT, f"sf{sf:g}-v6")
     return synth.generate_world(out_dir, sf, parallelism=parallelism)
 
 
