@@ -371,9 +371,11 @@ def generate_world(
         .map_batches(add_part, batch_format="pyarrow")
         # co-locate rows of a partition before the hive write: without this
         # every generator block fans out one small file PER part (measured
-        # 512 files and a 35% read slowdown at sf0.4); sorted, each part
-        # gets a handful of large files
-        .sort("part")
+        # 512 files and a 35% read slowdown at sf0.4). Sorting by part ALONE
+        # gives the range partitioner only 16 cut points and lumps >2GB of
+        # binary into one block (Arrow 32-bit offset overflow at sf1);
+        # image_id as a secondary key yields fine-grained boundaries
+        .sort(["part", "image_id"])
         .write_parquet(
             paths["images"],
             partition_cols=["part"],

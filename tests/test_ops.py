@@ -1,0 +1,80 @@
+"""Direct unit tests for the scale-hygiene operators in ops.py."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+import ray.data as rd
+
+
+@pytest.fixture()
+def events_ds(ray_session, sf_dir):
+    return rd.read_parquet(f"{sf_dir}/events.parquet")
+
+
+class TestPartialGroupbySum:
+    def test_matches_plain_groupby(self, events_ds, sf_dir):
+        from citygml2objv2_ray.ops import partial_groupby_sum
+
+        got = (
+            partial_groupby_sum(
+                events_ds.select_columns(["event_type", "value"]), "event_type", ["value"]
+            )
+            .to_pandas()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        import pyarrow.parquet as pq
+
+        df = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "value"]).to_pandas()
+        want = (
+            df.groupby("event_type")
+            .agg(sum_value=("value", "sum"), n=("value", "size"))
+            .reset_index()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        assert got.event_type.tolist() == want.event_type.tolist()
+        assert np.allclose(got.sum_value, want.sum_value)
+        assert got.n.astype(int).tolist() == want.n.tolist()
+
+
+class TestBroadcastFilter:
+    def test_semi_and_anti_partition(self, events_ds, ray_session):
+        from citygml2objv2_ray.ops import broadcast_semi_anti_filter
+
+        keys_ref = ray.put({"click", "view"})
+        ds = events_ds.select_columns(["event_id", "event_type"])
+        semi = broadcast_semi_anti_filter(ds, "event_type", keys_ref).to_pandas()
+        anti = broadcast_semi_anti_filter(ds, "event_type", keys_ref, anti=True).to_pandas()
+        assert set(semi.event_type) <= {"click", "view"}
+        assert not set(anti.event_type) & {"click", "view"}
+        assert len(semi) + len(anti) == events_ds.count()
+
+
+class TestSaltedGroupby:
+    def test_hot_key_counts_survive_salting(self, ray_session):
+        from citygml2objv2_ray.ops import salted_groupby
+
+        # Zipf-ish: one hot key with 5000 rows, 50 cold keys with 10 each
+        rng = np.random.default_rng(0)
+        keys = ["hot"] * 5000 + [f"k{i}" for i in range(50) for _ in range(10)]
+        rng.shuffle(keys)
+        df = pd.DataFrame({"key": keys, "n": 1})
+        ds = rd.from_pandas(df)
+
+        def reduce_batch(d: pd.DataFrame) -> pd.DataFrame:
+            cols = ["key", "_salt"] if "_salt" in d.columns else ["key"]
+            return d.groupby(cols, sort=False, as_index=False)["n"].sum()
+
+        def merge_group(d: pd.DataFrame) -> pd.DataFrame:
+            return d.groupby("key", sort=False, as_index=False)["n"].sum()
+
+        out = salted_groupby(ds, "key", reduce_batch, merge_group).to_pandas()
+        out = out.set_index("key").n
+        assert out["hot"] == 5000
+        assert all(out[f"k{i}"] == 10 for i in range(50))
+        assert out.sum() == 5500
