@@ -204,6 +204,35 @@ def _q_ann_ivf(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _q_range_join(sf_dir: str):
+    """Buffered-bbox range join (one-to-many; rows-only, brute-force oracle
+    in pytest): every (image, footprint) pair within a 3 m buffered bbox."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from citygml2objv2_ray import worlds
+    from citygml2objv2_ray.spatial import build_index
+
+    images_path, _, footprints = worlds.load_world(worlds.sf_of_dir(sf_dir))
+    index_ref = ray.put(build_index(footprints))
+
+    def join_batch(df: pd.DataFrame) -> pd.DataFrame:
+        idx = ray.get(index_ref) if isinstance(index_ref, ray.ObjectRef) else index_ref
+        pi, fi = idx.range_join(df.cx.to_numpy(), df.cy.to_numpy(), buffer=3.0)
+        return pd.DataFrame(
+            {
+                "image_id": df.image_id.to_numpy()[pi],
+                "building_id": idx.building_id[fi],
+            }
+        )
+
+    ds = rd.read_parquet(images_path, columns=["image_id", "cx", "cy"])
+    out = ds.map_batches(join_batch, batch_format="pandas").to_pandas()
+    return out.sort_values(["image_id", "building_id"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from citygml2objv2_ray import relational, relational_ext, relational_ml  # noqa: F401
 
@@ -218,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "q_phash_dup_groups": _q_phash_dup_groups,
             "q_components": _q_components,
             "q_ann_ivf": _q_ann_ivf,
+            "q_range_join": _q_range_join,
         }
     )
     return q

@@ -132,6 +132,54 @@ class FootprintIndex:
                 unresolved[hit] = False
         return out
 
+    # -- bbox range join ---------------------------------------------------
+
+    def range_join(self, cx: np.ndarray, cy: np.ndarray, buffer: float = 0.0):
+        """One-to-many bbox range join (C3 generalized, SURVEY §2.F): for
+        each point, ALL footprints whose bbox (expanded by ``buffer``)
+        contains it. Returns (point_idx, footprint_idx) int64 arrays.
+        Candidates come from the cell buckets of the point's cell and, when
+        ``buffer`` > 0, the neighbouring ring covering the buffer."""
+        cx = np.asarray(cx, dtype=np.float64)
+        cy = np.asarray(cy, dtype=np.float64)
+        cs = self.cfg.cell_size
+        ring = int(np.ceil(buffer / cs))
+        cells = grid_cell(cx, cy, cs)
+        order = np.argsort(cells, kind="stable")
+        sorted_cells = cells[order]
+        bounds = np.flatnonzero(np.diff(sorted_cells)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(cells)]])
+        out_p: list[np.ndarray] = []
+        out_f: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            c = int(sorted_cells[s])
+            ixa, iya = cell_xy(np.array([c]))
+            ix0, iy0 = int(ixa[0]), int(iya[0])
+            cand_lists = [
+                self.cell_map.get(((ix0 + dx) << 32) | ((iy0 + dy) & 0xFFFFFFFF))
+                for dx in range(-ring, ring + 1)
+                for dy in range(-ring, ring + 1)
+            ]
+            cand_lists = [cl for cl in cand_lists if cl is not None]
+            if not cand_lists:
+                continue
+            cand = np.unique(np.concatenate(cand_lists))
+            idx = order[s:e]
+            px, py = cx[idx][:, None], cy[idx][:, None]
+            hit = (
+                (px >= self.xmin[cand][None, :] - buffer)
+                & (px <= self.xmax[cand][None, :] + buffer)
+                & (py >= self.ymin[cand][None, :] - buffer)
+                & (py <= self.ymax[cand][None, :] + buffer)
+            )
+            pi, fi = np.nonzero(hit)
+            out_p.append(idx[pi])
+            out_f.append(cand[fi])
+        if not out_p:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(out_p), np.concatenate(out_f)
+
     # -- k nearest neighbours --------------------------------------------
 
     def _gather_candidates(self, cell: int, k: int) -> tuple[np.ndarray, int]:

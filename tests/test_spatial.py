@@ -97,3 +97,32 @@ class TestKNN:
         got_i, got_d = idx.knn(np.array([100.0]), np.array([100.0]), 5)
         d = got_d[0][got_i[0] >= 0]
         assert np.all(np.diff(d) >= 0)
+
+
+class TestRangeJoin:
+    def test_matches_brute_force_with_buffer(self):
+        _, fp = synth.make_city(40, seed=42)
+        idx = spatial.build_index(fp)
+        rng = np.random.default_rng(9)
+        cx = rng.uniform(-20, 500, 800)
+        cy = rng.uniform(-20, 500, 800)
+        for buf in (0.0, 3.0, 70.0):
+            pi, fi = idx.range_join(cx, cy, buffer=buf)
+            got = set(zip(pi.tolist(), fi.tolist()))
+            want = set()
+            for p in range(len(cx)):
+                for f in range(len(idx.building_id)):
+                    if (
+                        idx.xmin[f] - buf <= cx[p] <= idx.xmax[f] + buf
+                        and idx.ymin[f] - buf <= cy[p] <= idx.ymax[f] + buf
+                    ):
+                        want.add((p, f))
+            assert got == want, f"buffer={buf}"
+
+    def test_one_to_many(self):
+        _, fp = synth.make_city(30, seed=42)
+        idx = spatial.build_index(fp)
+        # a point inside the hot cell with a huge buffer hits many footprints
+        pi, fi = idx.range_join(np.array([30.0]), np.array([30.0]), buffer=64.0)
+        assert len(fi) > 3
+        assert (pi == 0).all()
