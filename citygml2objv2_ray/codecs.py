@@ -165,6 +165,18 @@ def phash64(rgb: np.ndarray) -> int:
     return v
 
 
+def phash64_batch(rgbs: np.ndarray) -> np.ndarray:
+    """Vectorized phash64 over a stack of same-shape images (N, H, W, 3)
+    with H, W divisible by 8. Bit-for-bit identical to ``phash64``."""
+    n, h, w, _ = rgbs.shape
+    gray = rgbs.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    cells = gray.reshape(n, 8, h // 8, 8, w // 8).mean(axis=(2, 4)).reshape(n, 64)
+    bits = cells > cells.mean(axis=1, keepdims=True)
+    weights = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64))
+    v = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1)
+    return v.view(np.int64)
+
+
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Vectorized hamming distance between int64 phash arrays (same shape or
     broadcastable)."""

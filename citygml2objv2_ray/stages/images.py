@@ -164,15 +164,31 @@ class DecodeClip:
         mean_i = np.zeros(n, dtype=np.float64)
         cov = np.zeros(n, dtype=np.float64)
         masked = np.full(n, np.nan, dtype=np.float64)
+
+        # decode all, then vectorize phash + mean across same-shape groups
+        # (the per-image matmul/means were ~40% of this stage's CPU)
+        decoded: list[np.ndarray | None] = [None] * n
         for i in range(n):
             try:
-                rgb = self.decode._decode(ids[i], blobs[i], fmts[i])
+                decoded[i] = self.decode._decode(ids[i], blobs[i], fmts[i])
             except (ValueError, NotImplementedError):
                 continue
-            ok[i] = codecs.phash64(rgb) == int(phash[i])
-            mean_i[i] = float(rgb.mean())
+        by_shape: dict[tuple, list[int]] = {}
+        for i, rgb in enumerate(decoded):
+            if rgb is not None:
+                by_shape.setdefault(rgb.shape, []).append(i)
+        for shape, idxs in by_shape.items():
+            stack = np.stack([decoded[i] for i in idxs])
+            if shape[0] % 8 == 0 and shape[1] % 8 == 0:
+                hashes = codecs.phash64_batch(stack)
+            else:
+                hashes = np.array([codecs.phash64(decoded[i]) for i in idxs])
+            ok[idxs] = hashes == phash[idxs]
+            mean_i[idxs] = stack.mean(axis=(1, 2, 3))
+        for i in range(n):
+            rgb = decoded[i]
             bid = bids[i]
-            if bid is None:
+            if rgb is None or bid is None:
                 continue
             tris = self.tri2d.get(bid)
             if tris is None or not len(tris):

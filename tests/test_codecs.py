@@ -151,3 +151,12 @@ class TestSynth:
             dec = codecs.decode_image(row["bytes"], row["fmt"])
             assert codecs.phash64(dec) == row["phash"]
             assert dec.shape == (row["h"], row["w"], 3)
+
+
+class TestPhashBatch:
+    def test_batch_matches_scalar_bit_for_bit(self):
+        rng = np.random.default_rng(11)
+        stack = rng.integers(0, 256, size=(32, 64, 64, 3), dtype=np.uint8)
+        batch = codecs.phash64_batch(stack)
+        scalar = np.array([codecs.phash64(stack[i]) for i in range(32)])
+        assert np.array_equal(batch, scalar)
