@@ -79,7 +79,11 @@ def _q_tile_stats(sf_dir: str):
 
 
 def _q_triangulate(sf_dir: str):
-    """Per-building triangle summary over the synthetic surfaces table."""
+    """Per-building triangle summary over the synthetic surfaces table.
+    SQL-checked: the DuckDB twin (``world_oracle_sql``) predicts n_tri from
+    ring sizes (ear clipping adds no Steiner points: n + 2h - 2 triangles)
+    and total_area from the polygon shoelace areas — triangulated area must
+    equal polygon area. Rounded to 4dp (two independent float summations)."""
     import numpy as np
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
@@ -93,7 +97,8 @@ def _q_triangulate(sf_dir: str):
         Count(alias_name="n_tri"), Sum("area", alias_name="total_area")
     )
     df = agg.to_pandas().sort_values("building_id").reset_index(drop=True)
-    df["total_area"] = df.total_area.round(6)
+    df["n_tri"] = df.n_tri.astype(np.int64)
+    df["total_area"] = df.total_area.round(4)
     return df
 
 
@@ -111,7 +116,9 @@ def _q_building_bboxes(sf_dir: str):
 
 
 def _q_semantic_areas(sf_dir: str):
-    """Per-semantic-class triangulated area (D3 fan-out summary)."""
+    """Per-semantic-class triangulated area (D3 fan-out summary).
+    SQL-checked like ``_q_triangulate`` (same n_tri/area predictions)."""
+    import numpy as np
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
@@ -124,7 +131,8 @@ def _q_semantic_areas(sf_dir: str):
         Count(alias_name="n_tri"), Sum("area", alias_name="total_area")
     )
     df = agg.to_pandas().sort_values("semantic").reset_index(drop=True)
-    df["total_area"] = df.total_area.round(6)
+    df["n_tri"] = df.n_tri.astype(np.int64)
+    df["total_area"] = df.total_area.round(4)
     return df
 
 
@@ -253,7 +261,102 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return q
 
 
+def world_oracle_sql(sf: float) -> dict[str, str]:
+    """DuckDB twins for the world-backed queries: the SQL reads the
+    deterministic synthetic-world parquet (cached under /tmp, same files the
+    Ray queries read) via ``read_parquet``. Parameterized by ``sf`` so the
+    local mirror test runs them at sf0.001; the driver gate runs at 0.01.
+
+    - phash dup groups / near-dup: plain SQL over the images table (the
+      near-dup twin is exact because max_hamming<=3 makes 4-band LSH
+      lossless — see ``relational_ext.q_phash_neardup``).
+    - building bboxes / range join: min-max + buffered-bbox containment.
+    - triangulate / semantic areas: n_tri predicted from ring sizes
+      (ear clipping adds no Steiner points: n + 2h - 2 per polygon) and
+      area from the pre-computed polygon shoelace column.
+    """
+    from citygml2objv2_ray import worlds
+
+    root = worlds.world_dir(sf)
+    images = os.path.join(root, "images", "*", "*.parquet")
+    surfaces = os.path.join(root, "surfaces.parquet")
+    footprints = os.path.join(root, "footprints.parquet")
+    per_poly = f"""
+        SELECT building_id, semantic, truth_area,
+               (len(exterior) - 1
+                - len(list_filter(range(2, len(exterior)),
+                                  i -> exterior[i] = exterior[i-1]))
+                + coalesce(list_sum(list_transform(interiors, h -> len(h) - 1)), 0)
+                + 2 * len(interiors) - 2) AS poly_tris
+        FROM read_parquet('{surfaces}') WHERE truth_valid
+    """
+    return {
+        "q_phash_dup_groups": f"""
+            SELECT phash, CAST(COUNT(*) AS BIGINT) AS n, MIN(image_id) AS first_img
+            FROM read_parquet('{images}')
+            GROUP BY phash HAVING COUNT(*) > 1 ORDER BY phash
+        """,
+        "q_phash_neardup": f"""
+            SELECT a.image_id AS img_a, b.image_id AS img_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+            FROM read_parquet('{images}') a JOIN read_parquet('{images}') b
+              ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 3
+            ORDER BY img_a, img_b
+        """,
+        "q_building_bboxes": f"""
+            WITH pts AS (SELECT building_id, unnest(exterior) AS pt
+                         FROM read_parquet('{surfaces}')),
+            ext AS (SELECT building_id,
+                           MIN(pt[1]) AS x0, MIN(pt[2]) AS y0, MIN(pt[3]) AS z0,
+                           MAX(pt[1]) AS x1, MAX(pt[2]) AS y1, MAX(pt[3]) AS z1
+                    FROM pts GROUP BY building_id)
+            SELECT building_id,
+                   ROUND(x0 - 3.0, 6) AS xmin, ROUND(y0 - 3.0, 6) AS ymin,
+                   ROUND(z0 - 3.0, 6) AS zmin, ROUND(x1 + 3.0, 6) AS xmax,
+                   ROUND(y1 + 3.0, 6) AS ymax, ROUND(z1 + 3.0, 6) AS zmax,
+                   ROUND((x0 - 3.0 + x1 + 3.0) / 2, 6) AS tx,
+                   ROUND((y0 - 3.0 + y1 + 3.0) / 2, 6) AS ty,
+                   ROUND((z0 - 3.0 + z1 + 3.0) / 2, 6) AS tz
+            FROM ext ORDER BY building_id
+        """,
+        "q_range_join": f"""
+            SELECT i.image_id, f.building_id
+            FROM read_parquet('{images}') i
+            JOIN read_parquet('{footprints}') f
+              ON i.cx >= f.xmin - 3.0 AND i.cx <= f.xmax + 3.0
+             AND i.cy >= f.ymin - 3.0 AND i.cy <= f.ymax + 3.0
+            ORDER BY image_id, building_id
+        """,
+        "q_triangulate": f"""
+            WITH p AS ({per_poly})
+            SELECT building_id, CAST(SUM(poly_tris) AS BIGINT) AS n_tri,
+                   ROUND(SUM(truth_area), 4) AS total_area
+            FROM p GROUP BY building_id ORDER BY building_id
+        """,
+        "q_semantic_areas": f"""
+            WITH p AS ({per_poly})
+            SELECT semantic, CAST(SUM(poly_tris) AS BIGINT) AS n_tri,
+                   ROUND(SUM(truth_area), 4) AS total_area
+            FROM p GROUP BY semantic ORDER BY semantic
+        """,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     from citygml2objv2_ray import relational, relational_ext, relational_ml  # noqa: F401
 
-    return dict(relational.ORACLE)
+    out = dict(relational.ORACLE)
+    # make sure the world parquet the SQL reads exists before the gate runs
+    # (generation is cached/idempotent; needs the driver's Ray session)
+    try:
+        import ray
+
+        if ray.is_initialized():
+            from citygml2objv2_ray import worlds
+
+            worlds.world_paths(0.01)
+    except Exception:
+        pass
+    out.update(world_oracle_sql(0.01))
+    return out

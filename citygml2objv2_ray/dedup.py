@@ -21,27 +21,67 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-MERSENNE = (1 << 61) - 1
+_FNV_OFFSET = np.uint64(1469598103934665603)
+_FNV_PRIME = np.uint64(1099511628211)
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-def _stable_token_ids(tokens: np.ndarray) -> np.ndarray:
-    """FNV-1a 64 of each token string → uint64 ids."""
-    out = np.empty(len(tokens), dtype=np.uint64)
-    for i, t in enumerate(tokens):
-        h = np.uint64(1469598103934665603)
-        for b in t.encode():
-            h = np.uint64((int(h) ^ b) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return out
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constant mix) —
+    uint64 in, uint64 out, wrapping arithmetic."""
+    x = np.asarray(x, dtype=np.uint64)
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _stable_token_ids(tokens) -> np.ndarray:
+    """FNV-1a 64 of each token string → uint64 ids. Vectorized across
+    tokens: one pass per BYTE POSITION (padded matrix), so cost is
+    O(max_len) numpy kernels instead of a Python loop per byte."""
+    toks = list(tokens)
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    bs = [t.encode() for t in toks]
+    lens = np.array([len(b) for b in bs], dtype=np.int64)
+    maxlen = int(lens.max()) if len(lens) else 0
+    arr = np.zeros((len(bs), maxlen), dtype=np.uint8)
+    for i, b in enumerate(bs):
+        arr[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    h = np.full(len(bs), _FNV_OFFSET, dtype=np.uint64)
+    for j in range(maxlen):
+        active = lens > j
+        h[active] = (h[active] ^ arr[active, j].astype(np.uint64)) * _FNV_PRIME
+    return h
 
 
 def char_shingles(text: str, k: int = 5) -> np.ndarray:
-    """k-char shingle id set of normalized text (uint64)."""
+    """k-byte shingle id set of normalized text (unique uint64, sorted).
+
+    Fully vectorized: the normalized text's bytes → sliding k-byte windows
+    → FNV-1a in k numpy passes → ``np.unique``. (Byte windows, not
+    codepoint windows — identical for ASCII, equally valid as a shingle
+    family otherwise.)"""
     norm = " ".join(text.lower().split())
-    if len(norm) < k:
-        norm = norm.ljust(k)
-    views = {norm[i : i + k] for i in range(len(norm) - k + 1)}
-    return _stable_token_ids(np.array(sorted(views), dtype=object))
+    data = norm.encode()
+    if len(data) < k:
+        data = data.ljust(k)
+    a = np.frombuffer(data, dtype=np.uint8)
+    n = len(a) - k + 1
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    for j in range(k):
+        h = (h ^ a[j : j + n].astype(np.uint64)) * _FNV_PRIME
+    return np.unique(h)
+
+
+def jaccard_u64(a: np.ndarray, b: np.ndarray) -> float:
+    """Jaccard of two sorted-unique uint64 arrays (vectorized set ops)."""
+    if not len(a) and not len(b):
+        return 1.0
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    u = len(a) + len(b) - inter
+    return inter / u if u else 0.0
 
 
 def word_ngrams(text: str, n: int = 3) -> set[str]:
@@ -59,47 +99,79 @@ def jaccard(a: set, b: set) -> float:
 
 
 class MinHasher:
-    """Vectorized MinHash over a universal hash family
-    h_i(x) = (a_i * x + b_i) mod p. Seeded, stateful (actor-friendly)."""
+    """Vectorized MinHash over the universal multiply-add family
+    h_i(x) = (a_i * x + b_i) mod 2^64 with odd a_i — pure uint64 wrapping
+    arithmetic, no object-dtype bignum math. Seeded, stateful
+    (actor-friendly)."""
 
     def __init__(self, num_hashes: int = 64, seed: int = 7):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, MERSENNE, size=num_hashes, dtype=np.int64).astype(object)
-        self.b = rng.integers(0, MERSENNE, size=num_hashes, dtype=np.int64).astype(object)
+        self.a = (
+            rng.integers(1, (1 << 62) - 1, size=num_hashes).astype(np.uint64)
+            * np.uint64(2)
+            + np.uint64(1)
+        )
+        self.b = rng.integers(0, (1 << 62) - 1, size=num_hashes).astype(np.uint64)
         self.num_hashes = num_hashes
 
     def signature(self, shingle_ids: np.ndarray) -> np.ndarray:
+        """(H,) uint64 signature of one shingle set (empty → all-max)."""
         if len(shingle_ids) == 0:
-            return np.full(self.num_hashes, MERSENNE, dtype=np.int64)
-        x = shingle_ids.astype(object)[None, :]
-        hv = (self.a[:, None] * x + self.b[:, None]) % MERSENNE
-        return np.array([int(min(row)) for row in hv], dtype=np.int64)
+            return np.full(self.num_hashes, _U64_MAX, dtype=np.uint64)
+        x = np.asarray(shingle_ids, dtype=np.uint64)
+        hv = self.a[:, None] * x[None, :] + self.b[:, None]
+        return hv.min(axis=1)
+
+    def signatures_batch(self, shingle_sets: list[np.ndarray]) -> np.ndarray:
+        """(D, H) uint64 signatures for a batch of shingle sets in ONE
+        vectorized pass: concatenate all ids, hash the whole strip with the
+        full family, per-doc min via ``np.minimum.reduceat``."""
+        D = len(shingle_sets)
+        out = np.full((D, self.num_hashes), _U64_MAX, dtype=np.uint64)
+        lens = np.array([len(s) for s in shingle_sets], dtype=np.int64)
+        nz = np.flatnonzero(lens)
+        if not len(nz):
+            return out
+        concat = np.concatenate([np.asarray(shingle_sets[i], dtype=np.uint64) for i in nz])
+        hv = self.a[:, None] * concat[None, :] + self.b[:, None]  # (H, N)
+        starts = np.concatenate([[0], np.cumsum(lens[nz])[:-1]])
+        out[nz] = np.minimum.reduceat(hv, starts, axis=1).T
+        return out
+
+
+def lsh_band_keys(sigs: np.ndarray, bands: int = 16) -> np.ndarray:
+    """(D, H) uint64 signatures → (D, bands) positive int64 band keys.
+    Each band's r values are folded with a splitmix64 chain — vectorized
+    across the whole batch (r numpy passes)."""
+    sigs = np.atleast_2d(np.asarray(sigs, dtype=np.uint64))
+    D, H = sigs.shape
+    r = H // bands
+    chunks = sigs[:, : bands * r].reshape(D, bands, r)
+    h = np.full((D, bands), np.uint64(0x51_7C_C1_B7_27_22_0A_95), dtype=np.uint64)
+    for j in range(r):
+        h = splitmix64(h ^ chunks[:, :, j])
+    h = h ^ np.arange(bands, dtype=np.uint64)[None, :]
+    return (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 
 
 def lsh_bands(sig: np.ndarray, bands: int = 16) -> np.ndarray:
-    """Split a signature into ``bands`` rows-per-band chunks and hash each →
-    int64 band keys (FNV over the chunk bytes)."""
-    r = len(sig) // bands
-    out = np.empty(bands, dtype=np.int64)
-    for b in range(bands):
-        chunk = sig[b * r : (b + 1) * r].tobytes()
-        h = 1469598103934665603
-        for by in chunk:
-            h = (h ^ by) * 1099511628211 & 0xFFFFFFFFFFFFFFFF
-        out[b] = (h ^ b) & 0x7FFFFFFFFFFFFFFF
-    return out
+    """Band keys of a single signature (thin wrapper over the batch form)."""
+    return lsh_band_keys(np.asarray(sig, dtype=np.uint64)[None, :], bands)[0]
 
 
 def simhash64(text: str) -> int:
-    """SimHash: signed bit-vote over stable token hashes."""
+    """SimHash: signed bit-vote over stable token hashes (unique tokens
+    hashed once, votes weighted by count — identical result, fewer
+    hashes)."""
     toks = text.lower().split()
     if not toks:
         return 0
-    ids = _stable_token_ids(np.array(toks, dtype=object))
+    uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
+    ids = _stable_token_ids(uniq)
     bits = ((ids[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
         np.int64
     )
-    votes = (2 * bits - 1).sum(axis=0)
+    votes = (counts[:, None] * (2 * bits - 1)).sum(axis=0)
     v = 0
     for k in np.flatnonzero(votes > 0):
         v |= 1 << int(k)
@@ -107,8 +179,9 @@ def simhash64(text: str) -> int:
 
 
 class MinHashStage:
-    """map_batches actor: text → minhash signature + LSH band keys
-    (exploded: one output row per (doc, band))."""
+    """map_batches stage: text → minhash signature → LSH band keys,
+    exploded to one output row per (doc, band). The whole batch is
+    signed in one vectorized pass (``MinHasher.signatures_batch``)."""
 
     def __init__(self, num_hashes: int = 64, bands: int = 16, shingle_k: int = 5, seed: int = 7):
         self.mh = MinHasher(num_hashes, seed)
@@ -116,28 +189,71 @@ class MinHashStage:
         self.k = shingle_k
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        rows = {"doc_id": [], "band": [], "band_hash": []}
-        for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
-            sig = self.mh.signature(char_shingles(text, self.k))
-            bh = lsh_bands(sig, self.bands)
-            rows["doc_id"] += [doc_id] * self.bands
-            rows["band"] += list(range(self.bands))
-            rows["band_hash"] += bh.tolist()
-        return pd.DataFrame(rows)
+        texts = batch["text"].fillna("")
+        shingles = [char_shingles(t, self.k) for t in texts]
+        sigs = self.mh.signatures_batch(shingles)
+        keys = lsh_band_keys(sigs, self.bands)  # (D, bands)
+        D = len(batch)
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(batch["doc_id"].to_numpy(), self.bands),
+                "band": np.tile(np.arange(self.bands, dtype=np.int64), D),
+                "band_hash": keys.ravel(),
+            }
+        )
 
 
-def candidate_pairs_from_buckets(df: pd.DataFrame) -> pd.DataFrame:
-    """(band, band_hash) groups → unique candidate (a < b) pairs."""
-    pairs = set()
-    for _, g in df.groupby(["band", "band_hash"]):
-        ids = sorted(g["doc_id"].unique().tolist())
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pairs.add((ids[i], ids[j]))
-    if not pairs:
-        return pd.DataFrame({"doc_a": [], "doc_b": []})
-    a, b = zip(*sorted(pairs))
-    return pd.DataFrame({"doc_a": list(a), "doc_b": list(b)})
+# bucket sizes above this emit a log line (NEVER a silent cap — a capped
+# bucket silently drops true near-dup pairs)
+PATHOLOGICAL_BUCKET = 512
+
+
+def bucket_pair_gen(id_col: str, a_col: str, b_col: str, carry: list[str] | None = None):
+    """Build a ``map_groups`` callable for distributed LSH-bucket candidate
+    pair generation: one (band, key) group in → all unique (a < b) id pairs
+    out, with optional per-id ``carry`` columns renamed ``<col>_a/_b``
+    (so in-group verification needs no second lookup). Pathological buckets
+    are logged, not truncated."""
+    carry = carry or []
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(id_col).sort_values(id_col, kind="stable")
+        m = len(g)
+        cols = {a_col: [], b_col: []}
+        for c in carry:
+            cols[f"{c}_a"] = []
+            cols[f"{c}_b"] = []
+        if m < 2:
+            return pd.DataFrame(cols)
+        if m > PATHOLOGICAL_BUCKET:
+            print(
+                f"[dedup] pathological LSH bucket: {m} ids -> {m*(m-1)//2} pairs "
+                f"(group keys {g.iloc[0].to_dict().get('band', '?')})"
+            )
+        ids = g[id_col].to_numpy()
+        ii, jj = np.triu_indices(m, k=1)
+        out = {a_col: ids[ii], b_col: ids[jj]}
+        for c in carry:
+            v = g[c].to_numpy()
+            out[f"{c}_a"] = v[ii]
+            out[f"{c}_b"] = v[jj]
+        return pd.DataFrame(out)
+
+    return pairs_in_bucket
+
+
+def dedup_pairs(pairs, a_col: str, b_col: str):
+    """Distributed global pair-dedup: per-batch ``drop_duplicates`` partial
+    then a hash-partitioned groupby keep-first (the same pair arrives from
+    multiple bands; the shuffle moves one row per pair per batch)."""
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates([a_col, b_col])
+
+    pre = pairs.map_batches(local, batch_format="pandas")
+    return pre.groupby([a_col, b_col]).map_groups(
+        lambda df: df.head(1), batch_format="pandas"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -197,58 +197,81 @@ def q_join_native(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("o_orderkey").reset_index(drop=True)
 
 
-# rows-only: perceptual-hash near-dup via band LSH over the synthetic
-# images table (verified against brute-force hamming in pytest)
+# phash near-dup via band LSH over the synthetic images table — SQL-checked
+# (the brute-force band+hamming twin lives in __ray_entry__.WORLD_ORACLE)
+# and brute-force parity-tested in tests/test_neardup_parity.py.
 @query("q_phash_neardup")
-def q_phash_neardup(sf_dir: str, max_hamming: int = 8) -> pd.DataFrame:
-    """Near-duplicate images by phash: 4 x 16-bit band LSH (two images
-    within hamming distance h <= 8 share at least one of 4 bands by
-    pigeonhole when h < 4... strictly when h <= 3 bands*1; with h <= 8 the
-    band trick is a candidate generator, recall verified in tests) →
-    exact hamming verify inside each bucket."""
+def q_phash_neardup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """Near-duplicate images by phash, fully distributed:
+
+    1. 4 x 16-bit band explode (vectorized, phash carried along);
+    2. ``groupby(band, key).map_groups`` pair-gen with IN-GROUP vectorized
+       hamming64 verify — only verified pairs leave the group, and
+       pathological buckets are logged, never capped;
+    3. distributed global pair-dedup (a pair can match in several bands).
+
+    With ``max_hamming <= 3`` the 4-band LSH is EXACT by pigeonhole (at
+    most 3 differing bits touch at most 3 of the 4 bands, so one band
+    matches) — the result equals brute-force all-pairs, which is both the
+    DuckDB oracle (``__ray_entry__.WORLD_ORACLE``) and the pytest parity
+    oracle."""
+    from .codecs import hamming64
+    from .dedup import dedup_pairs
     from .worlds import load_world, sf_of_dir
 
     images_path, _, _ = load_world(sf_of_dir(sf_dir))
     ds = rd.read_parquet(images_path, columns=["image_id", "phash"])
 
     def bands(df: pd.DataFrame) -> pd.DataFrame:
-        ph = df.phash.to_numpy().astype(np.int64).view(np.uint64)
-        rows = []
-        for b in range(4):
-            band = ((ph >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
-            rows.append(pd.DataFrame({"image_id": df.image_id, "band": b, "key": band}))
-        return pd.concat(rows)
-
-    banded = ds.map_batches(bands, batch_format="pandas").to_pandas()
-    full = ds.to_pandas().set_index("image_id").phash
-    pairs = set()
-    for _, g in banded.groupby(["band", "key"]):
-        ids = sorted(g.image_id.unique())
-        if len(ids) > 50:  # pathological bucket guard
-            ids = ids[:50]
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pairs.add((ids[i], ids[j]))
-    if not pairs:
-        return pd.DataFrame({"img_a": [], "img_b": [], "hamming": []})
-    a, b = zip(*sorted(pairs))
-    ha = full.loc[list(a)].to_numpy()
-    hb = full.loc[list(b)].to_numpy()
-    from .codecs import hamming64
-
-    hd = hamming64(ha, hb)
-    keep = hd <= max_hamming
-    return (
-        pd.DataFrame(
+        ph = df.phash.to_numpy().astype(np.int64)
+        u = ph.view(np.uint64)
+        n = len(df)
+        band = np.repeat(np.arange(4, dtype=np.int64), n)
+        key = np.concatenate(
+            [((u >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64) for b in range(4)]
+        )
+        return pd.DataFrame(
             {
-                "img_a": np.array(a)[keep],
-                "img_b": np.array(b)[keep],
-                "hamming": hd[keep].astype(np.int64),
+                "image_id": np.tile(df.image_id.to_numpy(), 4),
+                "band": band,
+                "key": key,
+                "phash": np.tile(ph, 4),
             }
         )
-        .sort_values(["img_a", "img_b"])
-        .reset_index(drop=True)
+
+    EMPTY = pd.DataFrame(
+        {
+            "img_a": pd.array([], dtype=object),
+            "img_b": pd.array([], dtype=object),
+            "hamming": pd.array([], dtype=np.int64),
+        }
     )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("image_id").sort_values("image_id", kind="stable")
+        m = len(g)
+        if m < 2:
+            return EMPTY
+        from .dedup import PATHOLOGICAL_BUCKET
+
+        if m > PATHOLOGICAL_BUCKET:
+            print(f"[phash-neardup] pathological bucket: {m} ids -> {m*(m-1)//2} pairs")
+        ids = g.image_id.to_numpy()
+        ph = g.phash.to_numpy()
+        ii, jj = np.triu_indices(m, k=1)
+        hd = hamming64(ph[ii], ph[jj])
+        keep = hd <= max_hamming
+        return pd.DataFrame(
+            {"img_a": ids[ii[keep]], "img_b": ids[jj[keep]], "hamming": hd[keep].astype(np.int64)}
+        )
+
+    banded = ds.map_batches(bands, batch_format="pandas")
+    pairs = banded.groupby(["band", "key"]).map_groups(pairs_in_bucket, batch_format="pandas")
+    out = dedup_pairs(pairs, "img_a", "img_b").to_pandas()
+    if not len(out):
+        return EMPTY
+    out["hamming"] = out.hamming.astype(np.int64)
+    return out[["img_a", "img_b", "hamming"]].sort_values(["img_a", "img_b"]).reset_index(drop=True)
 
 
 # rows-only: hyperplane-LSH embedding near-dup (the scale path; label-blocked

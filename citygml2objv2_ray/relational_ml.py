@@ -116,32 +116,82 @@ def q_langid(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "lang_pred", "n_tokens", "fingerprint"]].sort_values("doc_id").reset_index(drop=True)
 
 
-# rows-only: simhash + minhash near-dup pairs (brute-force Jaccard oracle in pytest)
+# rows-only: minhash near-dup pairs (brute-force Jaccard parity oracle in
+# tests/test_neardup_parity.py)
 @query("q_minhash_neardup")
 def q_minhash_neardup(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
-    """MinHash+LSH near-dup: shingle→minhash→bands (actor pool) → groupby
-    band buckets → candidate pairs → verify true char-shingle Jaccard."""
+    """MinHash+LSH near-dup, fully distributed:
+
+    1. shingle→minhash→band keys (vectorized ``MinHashStage``, exploded
+       one row per (doc, band));
+    2. ``groupby(band, band_hash).map_groups`` candidate pair-gen — pairs
+       are emitted inside the shuffle, never on the driver, and
+       pathological buckets are logged, not capped;
+    3. distributed global pair-dedup (same pair arrives from many bands);
+    4. Jaccard verify inside ``map_batches`` over the pair stream against a
+       **broadcast of only the candidate docs' texts** (the candidate set
+       is pair-bounded — the full documents table never reaches the
+       driver).
+    """
+    import ray
+
+    EMPTY = pd.DataFrame(
+        {
+            "doc_a": pd.array([], dtype=np.int64),
+            "doc_b": pd.array([], dtype=np.int64),
+            "jaccard": pd.array([], dtype=float),
+        }
+    )
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     bands = docs.map_batches(
         dd.MinHashStage, batch_format="pandas", concurrency=(1, 4), batch_size=256
     )
-    # bucket groupby: only buckets with >1 doc produce candidates
-    buckets = bands.to_pandas()
-    cand = dd.candidate_pairs_from_buckets(buckets)
-    if not len(cand):
-        return pd.DataFrame({"doc_a": pd.array([], dtype=np.int64), "doc_b": pd.array([], dtype=np.int64), "jaccard": pd.array([], dtype=float)})
-    texts = _read(sf_dir, "documents", ["doc_id", "text"]).to_pandas().set_index("doc_id")["text"]
-    sh: dict[int, set] = {}
+    pairs = bands.groupby(["band", "band_hash"]).map_groups(
+        dd.bucket_pair_gen("doc_id", "doc_a", "doc_b"), batch_format="pandas"
+    )
+    pairs = dd.dedup_pairs(pairs, "doc_a", "doc_b").materialize()
+    if not pairs.count():
+        return EMPTY
+    # candidate ids (pair-scale, small by construction)
+    cand_ids = set(
+        pairs.map_batches(
+            lambda df: pd.DataFrame({"doc_id": np.concatenate([df.doc_a.to_numpy(), df.doc_b.to_numpy()])}),
+            batch_format="pandas",
+        ).unique("doc_id")
+    )
+    ids_ref = ray.put(cand_ids)
+    cand_texts = (
+        docs.map_batches(
+            lambda df: df[df.doc_id.isin(ray.get(ids_ref) if isinstance(ids_ref, ray.ObjectRef) else ids_ref)],
+            batch_format="pandas",
+        )
+        .to_pandas()  # bounded by #candidates, not corpus size
+    )
+    texts_ref = ray.put(dict(zip(cand_texts.doc_id, cand_texts.text.fillna(""))))
 
-    def shingles(doc):
-        if doc not in sh:
-            sh[doc] = set(dd.char_shingles(texts.loc[doc]).tolist())
-        return sh[doc]
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(texts_ref) if isinstance(texts_ref, ray.ObjectRef) else texts_ref
+        cache: dict = {}
 
-    jac = np.array([dd.jaccard(shingles(a), shingles(b)) for a, b in zip(cand.doc_a, cand.doc_b)])
-    cand = cand.assign(jaccard=np.round(jac, 6))
-    out = cand[cand.jaccard >= threshold].reset_index(drop=True)
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        def sh(doc):
+            s = cache.get(doc)
+            if s is None:
+                s = cache[doc] = dd.char_shingles(lut.get(doc, ""))
+            return s
+
+        jac = np.round(
+            np.array([dd.jaccard_u64(sh(a), sh(b)) for a, b in zip(df.doc_a, df.doc_b)]),
+            6,
+        )
+        out = df.assign(jaccard=jac)
+        return out[out.jaccard >= threshold][["doc_a", "doc_b", "jaccard"]]
+
+    res = pairs.map_batches(verify, batch_format="pandas").to_pandas()
+    if not len(res):
+        return EMPTY
+    res["doc_a"] = res.doc_a.astype(np.int64)
+    res["doc_b"] = res.doc_b.astype(np.int64)
+    return res.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 @query("q_simhash")

@@ -213,6 +213,30 @@ def make_city(
 # ---------------------------------------------------------------------------
 
 
+def _raster(i: int, seed: int = WORLD_SEED) -> np.ndarray:
+    """Deterministic per-id raster: a diverse two-axis sinusoid (frequency
+    and phase derived from the id over a wide space) + seeded noise. Any
+    row's raster is regenerable independently on any worker — duplicate
+    rows re-call this with the SOURCE id."""
+    rng = np.random.default_rng(np.random.SeedSequence([seed, 3, int(i)]))
+    w = h = int(rng.choice([32, 64]))
+    fx = 1.0 + (int(i) * 2654435761 % 4096) / 256.0
+    fy = 1.0 + (int(i) * 40503 % 2048) / 256.0
+    phase = (int(i) % 509) / 509.0 * 2.0 * np.pi
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (
+        128
+        + 50 * np.sin(xx / w * np.pi * fx + phase)
+        + 30 * np.cos(yy / h * np.pi * fy)
+    )
+    # per-id random coarse field: decorrelates the 8x8 block means so
+    # unrelated tiles are phash-far apart (sinusoids alone average out at
+    # block scale and collide)
+    blob = np.kron(rng.normal(0, 45, size=(8, 8)), np.ones((h // 8, w // 8)))
+    noise = rng.normal(0, 12, size=(h, w, 3))
+    return np.clip((base + blob)[..., None] + noise, 0, 255).astype(np.uint8)
+
+
 def make_image_rows(
     ids: np.ndarray,
     footprints: pa.Table,
@@ -260,17 +284,26 @@ def make_image_rows(
             k = np.flatnonzero(inside)
             truth_b = fbid[int(k[0])] if len(k) else None
 
-        w = h = int(rng.choice([32, 64]))
         fmt = "png" if i % 2 == 0 else "jpeg"
-        # deterministic raster: smooth gradient + seeded noise
-        yy, xx = np.mgrid[0:h, 0:w]
-        base = (
-            128
-            + 80 * np.sin(xx / w * np.pi * (1 + (int(i) % 5)))
-            + 40 * np.cos(yy / h * np.pi * 2)
-        )
-        noise = rng.normal(0, 12, size=(h, w, 3))
-        rgb = np.clip(base[..., None] + noise, 0, 255).astype(np.uint8)
+        # raster with DESIGNED duplicate structure (world layout v7):
+        # ~1% exact pixel copies and ~2% noisy near-copies of an earlier
+        # tile (ground truth for exact/near dedup); everything else gets a
+        # per-id diverse sinusoid so unrelated tiles are phash-far apart
+        # (the v6 five-family pattern made near-dup pair counts quadratic).
+        dup_u = rng.random()
+        src = int(i)
+        if i >= 16 and dup_u < 0.01:
+            src = int(i) - int(rng.integers(1, 16))
+            rgb = _raster(src, seed)
+        elif i >= 16 and dup_u < 0.03:
+            src = int(i) - int(rng.integers(1, 16))
+            base_rgb = _raster(src, seed).astype(np.float64)
+            rgb = np.clip(base_rgb + rng.normal(0, 2.0, size=base_rgb.shape), 0, 255).astype(
+                np.uint8
+            )
+        else:
+            rgb = _raster(int(i), seed)
+        h, w = rgb.shape[0], rgb.shape[1]
         data = codecs.encode_image(rgb, fmt)
         decoded = codecs.decode_image(data, fmt)
         ph = codecs.phash64(decoded)

@@ -15,6 +15,13 @@ import pyarrow.parquet as pq
 from . import synth
 
 CACHE_ROOT = os.environ.get("GRAFT_WORLD_CACHE", "/tmp/citygml2objv2_ray_worlds")
+# bump whenever the generated layout or schema changes (stale caches poison
+# benchmarks — see CLAUDE.md invariants)
+LAYOUT_VERSION = 7
+
+
+def world_dir(sf: float) -> str:
+    return os.path.join(CACHE_ROOT, f"sf{sf:g}-v{LAYOUT_VERSION}")
 
 
 def sf_of_dir(sf_dir: str) -> float:
@@ -25,8 +32,10 @@ def sf_of_dir(sf_dir: str) -> float:
 
 def world_paths(sf: float, parallelism: int = 8) -> dict[str, str]:
     """Materialize (once) and return the synthetic world for a scale factor.
-    v3: images hive-partitioned by ``part``, part-sorted (few large files) (read-level resume pruning)."""
-    out_dir = os.path.join(CACHE_ROOT, f"sf{sf:g}-v6")
+    v7: diverse rasters + designed exact/near duplicate tiles (sparse,
+    ground-truthed dedup structure); images hive-partitioned by ``part``,
+    part-sorted (read-level resume pruning)."""
+    out_dir = world_dir(sf)
     return synth.generate_world(out_dir, sf, parallelism=parallelism)
 
 

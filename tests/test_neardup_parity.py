@@ -1,0 +1,121 @@
+"""Brute-force parity oracles for the distributed LSH near-dup pipelines.
+
+The distributed paths (groupby(band).map_groups pair-gen, in-group /
+broadcast-verify) must produce EXACTLY the pairs a driver-side all-pairs
+brute force produces at small scale:
+
+- phash: with max_hamming <= 3 the 4x16-bit band LSH is exact by
+  pigeonhole, so the query must equal brute-force hamming <= 3.
+- minhash: the query must equal brute-force "share >= 1 LSH band AND true
+  shingle-Jaccard >= threshold" over all pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _registry():
+    from citygml2objv2_ray import relational, relational_ext, relational_ml  # noqa: F401
+
+    return relational.REGISTRY
+
+
+class TestPhashNeardupParity:
+    def test_matches_bruteforce(self, ray_session):
+        from citygml2objv2_ray import worlds
+        from citygml2objv2_ray.codecs import hamming64
+
+        got = _registry()["q_phash_neardup"](SF)
+
+        p, _, _ = worlds.load_world(worlds.sf_of_dir(SF))
+        t = pq.read_table(p, columns=["image_id", "phash"])
+        ids = np.array(t["image_id"].to_pylist())
+        ph = np.asarray(t["phash"])
+        order = np.argsort(ids)
+        ids, ph = ids[order], ph[order]
+        ii, jj = np.triu_indices(len(ids), k=1)
+        hd = hamming64(ph[ii], ph[jj])
+        keep = hd <= 3
+        want = (
+            pd.DataFrame(
+                {
+                    "img_a": ids[ii[keep]],
+                    "img_b": ids[jj[keep]],
+                    "hamming": hd[keep].astype(np.int64),
+                }
+            )
+            .sort_values(["img_a", "img_b"])
+            .reset_index(drop=True)
+        )
+        assert len(want) > 0, "fixture should contain designed near-dups"
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+class TestMinhashNeardupParity:
+    def test_matches_bruteforce(self, ray_session):
+        from citygml2objv2_ray import dedup as dd
+
+        got = _registry()["q_minhash_neardup"](SF)
+
+        docs = (
+            pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        mh = dd.MinHasher(64, 7)
+        shingles = [dd.char_shingles(t) for t in docs.text.fillna("")]
+        sigs = mh.signatures_batch(shingles)
+        keys = dd.lsh_band_keys(sigs, 16)
+        ids = docs.doc_id.to_numpy()
+        ii, jj = np.triu_indices(len(ids), k=1)
+        share = (keys[ii] == keys[jj]).any(axis=1)
+        rows = []
+        for a, b in zip(ii[share], jj[share]):
+            j = round(dd.jaccard_u64(shingles[a], shingles[b]), 6)
+            if j >= 0.6:
+                rows.append((int(ids[a]), int(ids[b]), j))
+        want = pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]).sort_values(
+            ["doc_a", "doc_b"]
+        ).reset_index(drop=True)
+        if len(want):
+            want["doc_a"] = want.doc_a.astype(np.int64)
+            want["doc_b"] = want.doc_b.astype(np.int64)
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), want, check_dtype=bool(len(want)))
+
+
+class TestMinhashKernels:
+    def test_signature_matches_batch(self):
+        from citygml2objv2_ray import dedup as dd
+
+        mh = dd.MinHasher(32, 5)
+        sets = [dd.char_shingles(t) for t in ["hello world", "", "abcabcabc", "x"]]
+        batch = mh.signatures_batch(sets)
+        for i, s in enumerate(sets):
+            assert np.array_equal(mh.signature(s), batch[i])
+
+    def test_band_keys_match_single(self):
+        from citygml2objv2_ray import dedup as dd
+
+        mh = dd.MinHasher(64, 5)
+        sig = mh.signature(dd.char_shingles("the quick brown fox"))
+        assert np.array_equal(dd.lsh_bands(sig, 16), dd.lsh_band_keys(sig[None, :], 16)[0])
+        assert (dd.lsh_band_keys(sig[None, :], 16) >= 0).all()
+
+    def test_similar_docs_share_bands_dissimilar_dont(self):
+        from citygml2objv2_ray import dedup as dd
+
+        mh = dd.MinHasher(64, 7)
+        a = "the quick brown fox jumps over the lazy dog " * 20
+        b = a + "and then some extra tail text"
+        c = "completely different content about maritime law " * 20
+        ka = dd.lsh_bands(mh.signature(dd.char_shingles(a)), 16)
+        kb = dd.lsh_bands(mh.signature(dd.char_shingles(b)), 16)
+        kc = dd.lsh_bands(mh.signature(dd.char_shingles(c)), 16)
+        assert (ka == kb).any()
+        assert not (ka == kc).any()
