@@ -182,34 +182,19 @@ def _q_components(sf_dir: str):
 
 
 def _q_ann_ivf(sf_dir: str):
-    """IVF ANN top-5 for the first 20 vectors (rows-only; recall vs brute
-    force asserted in pytest)."""
-    import numpy as np
-    import pandas as pd
-    import pyarrow.parquet as pq
+    """IVF ANN top-5 for the first 20 vectors via the DISTRIBUTED scale
+    path (``ann.ivf_search_distributed``): centroids sample-trained with
+    bounded driver memory, broadcast via ray.put, per-batch assign + probe
+    + partial top-k (rows-only; recall vs brute force asserted in
+    pytest)."""
+    import ray.data as rd
 
-    from citygml2objv2_ray.ann import IVFIndex
+    from citygml2objv2_ray.ann import ivf_search_distributed
 
-    tab = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    df = tab.to_pandas()
-    V = np.vstack(df.embedding.to_numpy()).astype(np.float64)
-    ids = df.vec_id.to_numpy()
-    idx = IVFIndex(ids, V, n_lists=16)
-    nq = min(20, len(ids))
-    aid, sc = idx.search(V[:nq], k=5, nprobe=6, exclude_ids=ids[:nq])
-    rows = []
-    for qi in range(nq):
-        for r in range(5):
-            if aid[qi, r] is not None:
-                rows.append(
-                    dict(
-                        query_id=int(ids[qi]),
-                        rank=r,
-                        neighbor_id=int(aid[qi, r]),
-                        score=round(float(sc[qi, r]), 4),
-                    )
-                )
-    return pd.DataFrame(rows)
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return ivf_search_distributed(ds, range(20), k=5, n_lists=16, nprobe=6)
 
 
 def _q_range_join(sf_dir: str):

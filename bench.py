@@ -88,7 +88,9 @@ def run_bench() -> dict:
     queries["flagship_spatial_join"] = round(headline, 3)
     n_rows = res.rows_written
 
-    # secondary pipelines over the driver testdata tables
+    # secondary pipelines over the driver testdata tables — includes the
+    # near-dup long tail so driver-side-materialization regressions in the
+    # non-flagship pipelines are visible (VERDICT r1 item 8)
     for name in [
         "q1_pricing_summary",
         "q_count_by_flag",
@@ -100,11 +102,26 @@ def run_bench() -> dict:
         "q_join_native",
         "q_ann_topk",
         "q_exact_dedup_docs",
+        "q_phash_neardup",
+        "q_minhash_neardup",
+        "q_embedding_neardup_lsh",
     ]:
         fn = relational.REGISTRY[name]
         t0 = time.perf_counter()
         fn(SF_DIR)
         queries[name] = round(time.perf_counter() - t0, 3)
+
+    # OBJ conversion path: triangulate the world surfaces and write
+    # per-class OBJ (single materialization, streamed class writers)
+    import ray.data as rd
+
+    from citygml2objv2_ray.pipelines.geometry import triangulate_surfaces
+    from citygml2objv2_ray.sinks.obj import write_obj_per_class
+
+    t0 = time.perf_counter()
+    out_dir = f"/tmp/citygml2objv2_ray_bench/obj-{uuid.uuid4().hex[:8]}"
+    write_obj_per_class(triangulate_surfaces(rd.from_arrow(surfaces)), out_dir)
+    queries["obj_convert"] = round(time.perf_counter() - t0, 3)
 
     return {
         "metric": "spatial-join + tile-assignment throughput",
@@ -119,9 +136,10 @@ def run_bench() -> dict:
 
 
 def run_scaling_child() -> dict:
-    """One scaling level: the flagship at GRAFT_SCALING_SF, twice in this
-    fresh process (run 1 warms worker processes + page cache; run 2 is the
-    reported steady-state — a 100TB job runs in this regime)."""
+    """One scaling level: the flagship at GRAFT_SCALING_SF in this fresh
+    process (run 1 warms worker processes + page cache; the best of the
+    remaining runs is the reported steady-state — a 100TB job runs in that
+    regime). GRAFT_SCALING_RUNS controls measured runs per child."""
     import time as _time
     import uuid as _uuid
 
@@ -129,12 +147,11 @@ def run_scaling_child() -> dict:
     from citygml2objv2_ray import worlds
     from citygml2objv2_ray.pipelines.flagship import run_flagship
 
+    n_runs = int(os.environ.get("GRAFT_SCALING_RUNS", "3"))
     images_path, surfaces, footprints = worlds.load_world(SCALING_SF, parallelism=NUM_CPUS)
     best = None
     rows = 0
-    # best-of-3: this sandbox VM shows one-sided noise (host steal) of up
-    # to ~40% run-to-run; min is the robust steady-state estimator
-    for _ in range(3):
+    for i in range(1 + n_runs):  # first run warms, then measured runs
         out_root = f"/tmp/citygml2objv2_ray_bench/{_uuid.uuid4().hex[:8]}"
         t0 = _time.perf_counter()
         res = run_flagship(
@@ -143,7 +160,8 @@ def run_scaling_child() -> dict:
         )
         dt = _time.perf_counter() - t0
         rows = res.rows_written
-        best = dt if best is None else min(best, dt)
+        if i > 0:
+            best = dt if best is None else min(best, dt)
     return {"sec": round(best, 3), "rows": rows, "num_cpus": NUM_CPUS, "sf": SCALING_SF}
 
 
@@ -179,11 +197,19 @@ def _burn(n: int) -> float:
 
 
 def run_scaling() -> dict:
-    """Same job, fresh processes, num_cpus=8 vs 32 (the sandbox proxy for
-    the north rule's N vs 4N node criterion — see BASELINE.md)."""
+    """Same job, fresh processes, N vs 4N CPUs (the sandbox proxy for the
+    north rule's N vs 4N node criterion — see BASELINE.md).
+
+    The lo and hi levels are run INTERLEAVED (lo,hi,lo,hi,...), one
+    measured run per child process, best-of per level: this VM's effective
+    parallel capacity drifts up to 4x over minutes, so sequential
+    lo-then-hi measurement lets a host-state change masquerade as
+    (anti-)scaling — round-2 measured 0.42 "efficiency" purely from a slow
+    window landing on the hi level. Interleaving bounds that bias to one
+    pair."""
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING_RUNS="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-child"],
             env=env, capture_output=True, text=True, check=True,
@@ -198,14 +224,20 @@ def run_scaling() -> dict:
     # GRAFT_SCALING_LO/HI to reproduce either pair.
     lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
-    r_lo = one(lo)
-    r_hi = one(hi)
+    pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "3"))
+    best: dict[int, dict] = {}
+    for _ in range(pairs):
+        for ncpu in (lo, hi):
+            r = one(ncpu)
+            if ncpu not in best or r["sec"] < best[ncpu]["sec"]:
+                best[ncpu] = r
+    r_lo, r_hi = best[lo], best[hi]
     hw = hw_control(lo, hi)
     tp_lo = r_lo["rows"] / r_lo["sec"]
     tp_hi = r_hi["rows"] / r_hi["sec"]
     eff = tp_hi / (tp_lo * (hi / lo))
     return {
-        "metric": f"scaling efficiency (num_cpus {lo} -> {hi}, fresh processes, steady-state)",
+        "metric": f"scaling efficiency (num_cpus {lo} -> {hi}, interleaved fresh processes, best-of-{pairs}, steady-state)",
         f"sec_{lo}": r_lo["sec"],
         f"sec_{hi}": r_hi["sec"],
         f"throughput_rows_s_{lo}": round(tp_lo, 1),

@@ -88,15 +88,20 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
-def png_decode(data: bytes) -> np.ndarray:
-    """Decode a minimal RGB8 PNG back to (H, W, 3) uint8."""
-    if data[:8] != _PNG_SIG:
+def png_decode(data) -> np.ndarray:
+    """Decode a minimal RGB8 PNG back to (H, W, 3) uint8.
+
+    Accepts any bytes-like object — in the pipeline this is a zero-copy
+    ``memoryview`` into the Arrow data buffer (``arrow_utils.binary_views``),
+    so the blob is never copied into a Python ``bytes``."""
+    data = memoryview(data)
+    if bytes(data[:8]) != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, w = 8, None
-    idat = b""
+    idat_parts: list = []
     while pos < len(data):
         (ln,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
+        tag = bytes(data[pos + 4 : pos + 8])
         payload = data[pos + 8 : pos + 8 + ln]
         pos += 12 + ln
         if tag == b"IHDR":
@@ -104,9 +109,10 @@ def png_decode(data: bytes) -> np.ndarray:
             if depth != 8 or ctype != 2 or interlace != 0:
                 raise ValueError("only 8-bit RGB non-interlaced supported")
         elif tag == b"IDAT":
-            idat += payload
+            idat_parts.append(payload)
         elif tag == b"IEND":
             break
+    idat = idat_parts[0] if len(idat_parts) == 1 else b"".join(idat_parts)
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
     stride = w * 3
     return _unfilter(raw, h, stride, 3).reshape(h, w, 3)
@@ -122,7 +128,7 @@ def encode_image(rgb: np.ndarray, fmt: str) -> bytes:
     raise NotImplementedError(f"codec for fmt={fmt!r} not available in this container")
 
 
-def decode_image(data: bytes, fmt: str) -> np.ndarray:
+def decode_image(data, fmt: str) -> np.ndarray:
     if fmt in ("png", "jpeg"):
         return png_decode(data)
     raise NotImplementedError(f"codec for fmt={fmt!r} not available in this container")

@@ -242,6 +242,42 @@ def bucket_pair_gen(id_col: str, a_col: str, b_col: str, carry: list[str] | None
     return pairs_in_bucket
 
 
+def filter_hot_buckets(bands, key_cols: list[str], min_count: int = 2):
+    """Prune an LSH band table to the buckets that can produce pairs.
+
+    ``groupby(bucket).map_groups`` over the raw band table pays per-group
+    Python overhead for every bucket — and almost all buckets are
+    singletons. Instead: vectorized per-batch bucket counts → block-level
+    aggregate (one row per bucket) → distributed filter to buckets with
+    >= ``min_count`` members → broadcast that (collision-bounded, small)
+    bucket list → vectorized merge-filter of the band stream. Only the
+    surviving rows reach the per-group pair generator."""
+    import ray
+    import ray.data as rd  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key_cols, sort=False, as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    counts = bands.map_batches(partial_counts, batch_format="pandas")
+    agg = counts.groupby(key_cols).aggregate(Sum("n", alias_name="n"))
+    hot = (
+        agg.map_batches(
+            lambda df: df[df.n >= min_count][key_cols], batch_format="pandas"
+        ).to_pandas()  # bounded by #colliding buckets, not #buckets
+    )
+    if not len(hot):
+        return None
+    hot_ref = ray.put(hot)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = ray.get(hot_ref) if isinstance(hot_ref, ray.ObjectRef) else hot_ref
+        return df.merge(h, on=key_cols, how="inner")
+
+    return bands.map_batches(keep, batch_format="pandas")
+
+
 def dedup_pairs(pairs, a_col: str, b_col: str):
     """Distributed global pair-dedup: per-batch ``drop_duplicates`` partial
     then a hash-partitioned groupby keep-first (the same pair arrives from

@@ -162,7 +162,13 @@ def run_flagship(
             lambda kv: kv.get("part") not in done_strs, style="hive"
         )
         done = None  # read-level pruning supersedes the stream filter
-    ds = rd.read_parquet(images_path, columns=IMAGE_COLUMNS, **read_kwargs)
+    from ..sources.lance import read_images
+
+    # Lance-first ingestion (input_hint): Lance datasets read via
+    # rd.read_lance when pylance is available; parquet otherwise. The
+    # hive partition_filter resume pruning applies to the parquet layout;
+    # Lance inputs fall back to the in-stream prune above.
+    ds = read_images(images_path, columns=IMAGE_COLUMNS, **read_kwargs)
     ds = ds.map_batches(process, batch_format="pyarrow", batch_size=cfg.join_batch_size)
 
     acks = ds.map_batches(

@@ -56,12 +56,22 @@ def opening_anti_join(
     surfaces: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> rd.Dataset:
     """Drop polygons that are openings (Window/Door) from the non-opening
-    stream by broadcast anti-filter on poly_id (small side = opening ids)."""
-    openings = surfaces.filter(
-        lambda row: row["semantic"] in OPENING_CLASSES or row["is_opening"]
-    )
+    stream by broadcast anti-filter on poly_id (small side = opening ids).
+    The opening-id collection is a vectorized batch filter (is_in + bool
+    column), not a per-row Python predicate."""
+    import pyarrow.compute as pc
+
+    def opening_ids_in_batch(batch: pa.Table) -> pa.Table:
+        mask = pc.or_(
+            pc.is_in(batch["semantic"], value_set=pa.array(list(OPENING_CLASSES))),
+            batch["is_opening"].combine_chunks(),
+        )
+        return batch.filter(mask).select(["poly_id"])
+
     opening_ids = set(
-        openings.select_columns(["poly_id"]).to_pandas()["poly_id"].tolist()
+        surfaces.map_batches(opening_ids_in_batch, batch_format="pyarrow")
+        .to_pandas()["poly_id"]
+        .tolist()
     )
     ids_ref = ray.put(opening_ids)
 

@@ -237,23 +237,26 @@ def q_anti_join(sf_dir: str) -> pd.DataFrame:
     """,
 )
 def q_semi_join(sf_dir: str) -> pd.DataFrame:
-    keys = set(
-        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
-        .map_batches(
-            lambda b: b.filter(pc.greater_equal(b["l_quantity"], pa.scalar(48.0))).select(["l_orderkey"]),
-            batch_format="pyarrow",
-        )
-        .to_pandas()["l_orderkey"]
-        .tolist()
+    """Semi join where the key side derives from the FACT table (lineitem)
+    — at scale that side is NOT broadcastable, so: per-batch local distinct
+    → global distinct (shuffle moves one row per key per batch) → native
+    hash-partitioned ``Dataset.join`` against orders (cf. q_anti_join,
+    where the key side IS small and broadcast is right)."""
+    filtered = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["l_quantity"], pa.scalar(48.0)))
+        .select(["l_orderkey"])
+        .group_by(["l_orderkey"])
+        .aggregate([]),
+        batch_format="pyarrow",
     )
-    keys_ref = ray.put(keys)
-    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-
-    def flt(batch: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
-        return batch.filter(pc.is_in(batch["o_orderkey"], value_set=pa.array(list(ks), pa.int64())))
-
-    df = fn_sorted(ds.map_batches(flt, batch_format="pyarrow"), ["o_orderkey"])
+    keys_ds = filtered.groupby("l_orderkey").aggregate(Count(alias_name="_c"))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    joined = orders.join(
+        keys_ds, "inner", num_partitions=8, on=("o_orderkey",), right_on=("l_orderkey",)
+    )
+    df = fn_sorted(
+        joined.select_columns(["o_orderkey", "o_totalprice"]), ["o_orderkey"]
+    )
     df["o_totalprice"] = df["o_totalprice"].round(4)
     return df
 

@@ -215,6 +215,7 @@ def q_phash_neardup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     matches) — the result equals brute-force all-pairs, which is both the
     DuckDB oracle (``__ray_entry__.WORLD_ORACLE``) and the pytest parity
     oracle."""
+    from . import dedup as dd
     from .codecs import hamming64
     from .dedup import dedup_pairs
     from .worlds import load_world, sf_of_dir
@@ -266,7 +267,12 @@ def q_phash_neardup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
         )
 
     banded = ds.map_batches(bands, batch_format="pandas")
-    pairs = banded.groupby(["band", "key"]).map_groups(pairs_in_bucket, batch_format="pandas")
+    # prune singleton buckets BEFORE the per-group pair-gen: per-group
+    # overhead is paid only for the collision-bounded hot buckets
+    hot = dd.filter_hot_buckets(banded, ["band", "key"])
+    if hot is None:
+        return EMPTY
+    pairs = hot.groupby(["band", "key"]).map_groups(pairs_in_bucket, batch_format="pandas")
     out = dedup_pairs(pairs, "img_a", "img_b").to_pandas()
     if not len(out):
         return EMPTY

@@ -146,7 +146,12 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
     bands = docs.map_batches(
         dd.MinHashStage, batch_format="pandas", concurrency=(1, 4), batch_size=256
     )
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
+    # prune singleton buckets before per-group pair-gen (vectorized count
+    # aggregate + broadcast hot-bucket filter — see dedup.filter_hot_buckets)
+    hot = dd.filter_hot_buckets(bands, ["band", "band_hash"])
+    if hot is None:
+        return EMPTY
+    pairs = hot.groupby(["band", "band_hash"]).map_groups(
         dd.bucket_pair_gen("doc_id", "doc_a", "doc_b"), batch_format="pandas"
     )
     pairs = dd.dedup_pairs(pairs, "doc_a", "doc_b").materialize()

@@ -50,7 +50,7 @@ class DecodeVerify:
         self.hits = 0
         self.misses = 0
 
-    def _decode(self, image_id: str, data: bytes, fmt: str) -> np.ndarray:
+    def _decode(self, image_id: str, data, fmt: str) -> np.ndarray:
         rgb = self.cache.get(image_id)
         if rgb is not None:
             self.cache.move_to_end(image_id)
@@ -64,10 +64,12 @@ class DecodeVerify:
         return rgb
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..arrow_utils import binary_views
+
         n = batch.num_rows
         ids = batch["image_id"].to_pylist()
         fmts = batch["fmt"].to_pylist()
-        blobs = batch["bytes"].to_pylist()
+        blobs = binary_views(batch["bytes"])  # zero-copy views, no bytes copies
         phash = np.asarray(batch["phash"])
         ok = np.zeros(n, dtype=bool)
         mean_i = np.zeros(n, dtype=np.float64)
@@ -99,6 +101,16 @@ class RasterClip:
             ray.get(tri2d_ref) if isinstance(tri2d_ref, ray.ObjectRef) else tri2d_ref
         )
         self.cfg = cfg
+        self._edges: dict = {}  # building_id → edge_entry (worker lifetime)
+
+    def _entry(self, bid):
+        e = self._edges.get(bid)
+        if e is None:
+            tris = self.tri2d.get(bid)
+            e = self._edges[bid] = (
+                edge_entry(tris) if tris is not None and len(tris) else False
+            )
+        return e
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -118,15 +130,15 @@ class RasterClip:
             bid = bids[i]
             if bid is None:
                 continue
-            tris = self.tri2d.get(bid)
-            if tris is None or not len(tris):
+            entry = self._entry(bid)
+            if entry is False:
                 continue
             # pixel-center grid of the tile's ground extent
             half_w = w[i] * PIXEL_SIZE / 2
             half_h = h[i] * PIXEL_SIZE / 2
             xs = cx[i] - half_w + (np.arange(w[i]) + 0.5) * PIXEL_SIZE
             ys = cy[i] - half_h + (np.arange(h[i]) + 0.5) * PIXEL_SIZE
-            cov[i] = _coverage(xs, ys, tris)
+            cov[i] = float(_coverage_mask_entry(xs, ys, entry).mean())
             if cov[i] > 0:
                 masked[i] = mean_i[i]  # proxy: per-pixel values not retained here
         return batch.append_column("roof_coverage", pa.array(cov)).append_column(
@@ -148,14 +160,26 @@ class DecodeClip:
             ray.get(tri2d_ref) if isinstance(tri2d_ref, ray.ObjectRef) else tri2d_ref
         )
         self.cfg = cfg
+        self._edges: dict = {}  # building_id → edge_entry (worker lifetime)
+
+    def _entry(self, bid):
+        e = self._edges.get(bid)
+        if e is None:
+            tris = self.tri2d.get(bid)
+            e = self._edges[bid] = (
+                edge_entry(tris) if tris is not None and len(tris) else False
+            )
+        return e
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .. import codecs
 
+        from ..arrow_utils import binary_views
+
         n = batch.num_rows
         ids = batch["image_id"].to_pylist()
         fmts = batch["fmt"].to_pylist()
-        blobs = batch["bytes"].to_pylist()
+        blobs = binary_views(batch["bytes"])  # zero-copy views, no bytes copies
         bids = batch["building_id"].to_pylist()
         phash = np.asarray(batch["phash"])
         cx = np.asarray(batch["cx"], dtype=np.float64)
@@ -190,15 +214,15 @@ class DecodeClip:
             bid = bids[i]
             if rgb is None or bid is None:
                 continue
-            tris = self.tri2d.get(bid)
-            if tris is None or not len(tris):
+            entry = self._entry(bid)
+            if entry is False:
                 continue
             h_px, w_px = rgb.shape[0], rgb.shape[1]
             half_w = w_px * PIXEL_SIZE / 2
             half_h = h_px * PIXEL_SIZE / 2
             xs = cx[i] - half_w + (np.arange(w_px) + 0.5) * PIXEL_SIZE
             ys = cy[i] - half_h + (np.arange(h_px) + 0.5) * PIXEL_SIZE
-            mask = _coverage_mask(xs, ys, tris)  # (h, w) bool
+            mask = _coverage_mask_entry(xs, ys, entry)  # (h, w) bool
             cov[i] = float(mask.mean())
             if mask.any():
                 masked[i] = float(rgb[mask].mean())  # TRUE per-pixel masked mean
@@ -238,8 +262,10 @@ class Resize:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .. import codecs
 
+        from ..arrow_utils import binary_views
+
         out_bytes, out_w, out_h = [], [], []
-        blobs = batch["bytes"].to_pylist()
+        blobs = binary_views(batch["bytes"])
         fmts = batch["fmt"].to_pylist()
         for blob, fmt in zip(blobs, fmts):
             rgb = codecs.decode_image(blob, fmt)
@@ -278,33 +304,61 @@ def _coverage(xs: np.ndarray, ys: np.ndarray, tris: np.ndarray) -> float:
     return float(_coverage_mask(xs, ys, tris).mean())
 
 
-def _coverage_mask(xs: np.ndarray, ys: np.ndarray, tris: np.ndarray) -> np.ndarray:
-    """(len(ys), len(xs)) bool mask of pixel centers covered by any
-    triangle. Fully vectorized: bbox-prefilter the grid, then one broadcast
-    edge-function test over (pixels × triangles)."""
-    full = np.zeros((len(ys), len(xs)), dtype=bool)
+def edge_entry(tris: np.ndarray):
+    """Precompute the per-building edge-function form of a (T, 3, 2)
+    triangle set: one float32 coefficient matrix E (3, 3T) such that
+    ``[px, py, 1] @ E`` gives all 3 edge functions of all T triangles in a
+    single GEMM. Coordinates are CENTERED on the triangle bbox first so
+    float32 keeps ~1e-4 absolute precision at the pixel scale (raw UTM-like
+    magnitudes would push float32 eps past the 0.25-unit pixel spacing).
+
+    Reused across every image of the building (cached per worker in the
+    clip stages) — the naive broadcast version re-derived these per image
+    and burned ~9 full (pixels × triangles) float64 passes; this is one
+    float32 GEMM + two reductions, the measured memory-bandwidth hot spot
+    of the fused decode stage."""
     lo = tris.min(axis=(0, 1))
     hi = tris.max(axis=(0, 1))
+    center = (lo + hi) / 2.0
+    t = (tris - center).astype(np.float64)
+    a, b, c = t[:, 0], t[:, 1], t[:, 2]  # (T,2) each
+    T = len(t)
+    E = np.empty((3, 3 * T), dtype=np.float64)
+    for k, (p, q) in enumerate(((a, b), (b, c), (c, a))):
+        # d = (px - q0)*(p1 - q1) - (p0 - q0)*(py - q1)
+        A = p[:, 1] - q[:, 1]
+        B = -(p[:, 0] - q[:, 0])
+        C = -q[:, 0] * A - B * q[:, 1]
+        E[0, k::3] = A
+        E[1, k::3] = B
+        E[2, k::3] = C
+    return E.astype(np.float32), center.astype(np.float64), lo, hi, T
+
+
+def _coverage_mask_entry(xs: np.ndarray, ys: np.ndarray, entry) -> np.ndarray:
+    """(len(ys), len(xs)) bool mask of pixel centers covered by any
+    triangle, from a precomputed ``edge_entry``."""
+    E, center, lo, hi, T = entry
+    full = np.zeros((len(ys), len(xs)), dtype=bool)
     mx = (xs >= lo[0]) & (xs <= hi[0])
     my = (ys >= lo[1]) & (ys <= hi[1])
     if not mx.any() or not my.any():
         return full
-    gx, gy = np.meshgrid(xs[mx], ys[my])
-    px = gx.ravel()[:, None]  # (P,1)
-    py = gy.ravel()[:, None]
-    a, b, c = tris[:, 0], tris[:, 1], tris[:, 2]  # (T,2) each
-    d1 = (px - b[None, :, 0]) * (a[None, :, 1] - b[None, :, 1]) - (
-        a[None, :, 0] - b[None, :, 0]
-    ) * (py - b[None, :, 1])
-    d2 = (px - c[None, :, 0]) * (b[None, :, 1] - c[None, :, 1]) - (
-        b[None, :, 0] - c[None, :, 0]
-    ) * (py - c[None, :, 1])
-    d3 = (px - a[None, :, 0]) * (c[None, :, 1] - a[None, :, 1]) - (
-        c[None, :, 0] - a[None, :, 0]
-    ) * (py - a[None, :, 1])
-    neg = (d1 < 0) | (d2 < 0) | (d3 < 0)
-    pos = (d1 > 0) | (d2 > 0) | (d3 > 0)
+    gx, gy = np.meshgrid((xs[mx] - center[0]), (ys[my] - center[1]))
+    P = gx.size
+    hom = np.empty((P, 3), dtype=np.float32)
+    hom[:, 0] = gx.ravel()
+    hom[:, 1] = gy.ravel()
+    hom[:, 2] = 1.0
+    D = (hom @ E).reshape(P, T, 3)  # one GEMM for all (pixel, tri, edge)
+    neg = (D < 0).any(axis=2)
+    pos = (D > 0).any(axis=2)
     inside_any = (~(neg & pos)).any(axis=1)
     sub = inside_any.reshape(int(my.sum()), int(mx.sum()))
     full[np.ix_(my, mx)] = sub
     return full
+
+
+def _coverage_mask(xs: np.ndarray, ys: np.ndarray, tris: np.ndarray) -> np.ndarray:
+    """Uncached form (tests / one-off callers)."""
+    return _coverage_mask_entry(xs, ys, edge_entry(tris))

@@ -103,6 +103,43 @@ class TestIVF:
         assert recall_at_k(approx_ids, np.array(exact, dtype=object)) == 1.0
 
 
+class TestIVFDistributed:
+    def test_build_is_bounded_and_recall_holds(self, sf_dir, ray_session):
+        """The distributed IVF path must (a) train on a driver-side sample
+        bounded by max_train — never the full embeddings table — and
+        (b) keep recall vs brute force (VERDICT r1 item 5)."""
+        import pyarrow.parquet as pq
+
+        from citygml2objv2_ray.ann import ivf_search_distributed, sample_train_centroids
+        from citygml2objv2_ray.dedup import cosine_topk
+
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        n = ds.count()
+        centers, n_sampled = sample_train_centroids(ds, n_lists=16, max_train=256)
+        assert n_sampled <= 256 and n_sampled < n
+        assert centers.shape[0] == 16
+
+        res = ivf_search_distributed(ds, range(20), k=5, n_lists=16, nprobe=6)
+        res2 = ivf_search_distributed(ds, range(20), k=5, n_lists=16, nprobe=6)
+        pd.testing.assert_frame_equal(res, res2)  # deterministic
+
+        tab = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        df = tab.to_pandas()
+        V = np.vstack(df.embedding.to_numpy()).astype(np.float64)
+        ids = df.vec_id.to_numpy()
+        order = np.argsort(ids)
+        V, ids = V[order], ids[order]
+        bi, _ = cosine_topk(V[:20], V, k=6)
+        hits = total = 0
+        for qi in range(20):
+            exact = {int(ids[j]) for j in bi[qi] if ids[j] != ids[qi]}
+            got = set(res[res.query_id == ids[qi]].neighbor_id.tolist())
+            exact = set(list(exact)[:5]) if len(exact) > 5 else exact
+            hits += len(got & exact)
+            total += len(exact)
+        assert hits / max(1, total) >= 0.6
+
+
 class TestMultimodal:
     def test_audio_plumbing(self, ray_session):
         from citygml2objv2_ray.stages.multimodal import (
