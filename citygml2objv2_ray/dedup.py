@@ -203,93 +203,56 @@ class MinHashStage:
         )
 
 
-# bucket sizes above this emit a log line (NEVER a silent cap — a capped
-# bucket silently drops true near-dup pairs)
-PATHOLOGICAL_BUCKET = 512
+def bucket_pair_indices(sorted_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All within-bucket (i < j) row-index pairs of a key-sorted array,
+    fully vectorized: run-length encode the buckets, then for each distinct
+    bucket SIZE stack that size's buckets into a (B, m) index matrix and
+    emit its triu pairs in one shot — a Python loop only over the handful
+    of distinct sizes, never over buckets or rows."""
+    n = len(sorted_keys)
+    if n < 2:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    starts = np.flatnonzero(np.concatenate([[True], sorted_keys[1:] != sorted_keys[:-1]]))
+    lens = np.diff(np.concatenate([starts, [n]]))
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for m in np.unique(lens[lens >= 2]):
+        s = starts[lens == m]
+        idx = s[:, None] + np.arange(m)[None, :]  # (B, m)
+        ii, jj = np.triu_indices(int(m), k=1)
+        out_a.append(idx[:, ii].ravel())
+        out_b.append(idx[:, jj].ravel())
+    if not out_a:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(out_a), np.concatenate(out_b)
 
 
-def bucket_pair_gen(id_col: str, a_col: str, b_col: str, carry: list[str] | None = None):
-    """Build a ``map_groups`` callable for distributed LSH-bucket candidate
-    pair generation: one (band, key) group in → all unique (a < b) id pairs
-    out, with optional per-id ``carry`` columns renamed ``<col>_a/_b``
-    (so in-group verification needs no second lookup). Pathological buckets
-    are logged, not truncated."""
-    carry = carry or []
-
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(id_col).sort_values(id_col, kind="stable")
-        m = len(g)
-        cols = {a_col: [], b_col: []}
-        for c in carry:
-            cols[f"{c}_a"] = []
-            cols[f"{c}_b"] = []
-        if m < 2:
-            return pd.DataFrame(cols)
-        if m > PATHOLOGICAL_BUCKET:
-            print(
-                f"[dedup] pathological LSH bucket: {m} ids -> {m*(m-1)//2} pairs "
-                f"(group keys {g.iloc[0].to_dict().get('band', '?')})"
-            )
-        ids = g[id_col].to_numpy()
-        ii, jj = np.triu_indices(m, k=1)
-        out = {a_col: ids[ii], b_col: ids[jj]}
-        for c in carry:
-            v = g[c].to_numpy()
-            out[f"{c}_a"] = v[ii]
-            out[f"{c}_b"] = v[jj]
-        return pd.DataFrame(out)
-
-    return pairs_in_bucket
+def supergroup_of(keys: np.ndarray, num_groups: int = 64) -> np.ndarray:
+    """Coarse shuffle key: splitmix64 of the bucket key mod num_groups.
+    All rows of one LSH bucket land in one super-group, so per-group
+    scheduling overhead is paid ~num_groups times instead of once per
+    bucket (measured 10-40x on 10^5-bucket band tables — Ray's per-group
+    map_groups and its groupby aggregate are both per-bucket-cost-bound,
+    and the native join was slower still)."""
+    return (splitmix64(keys.astype(np.uint64)) % np.uint64(num_groups)).astype(np.int64)
 
 
-def filter_hot_buckets(bands, key_cols: list[str], min_count: int = 2):
-    """Prune an LSH band table to the buckets that can produce pairs.
-
-    ``groupby(bucket).map_groups`` over the raw band table pays per-group
-    Python overhead for every bucket — and almost all buckets are
-    singletons. Instead: vectorized per-batch bucket counts → block-level
-    aggregate (one row per bucket) → distributed filter to buckets with
-    >= ``min_count`` members → broadcast that (collision-bounded, small)
-    bucket list → vectorized merge-filter of the band stream. Only the
-    surviving rows reach the per-group pair generator."""
-    import ray
-    import ray.data as rd  # noqa: F401
-    from ray.data.aggregate import Sum
-
-    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(key_cols, sort=False, as_index=False).size()
-        return g.rename(columns={"size": "n"})
-
-    counts = bands.map_batches(partial_counts, batch_format="pandas")
-    agg = counts.groupby(key_cols).aggregate(Sum("n", alias_name="n"))
-    hot = (
-        agg.map_batches(
-            lambda df: df[df.n >= min_count][key_cols], batch_format="pandas"
-        ).to_pandas()  # bounded by #colliding buckets, not #buckets
-    )
-    if not len(hot):
-        return None
-    hot_ref = ray.put(hot)
-
-    def keep(df: pd.DataFrame) -> pd.DataFrame:
-        h = ray.get(hot_ref) if isinstance(hot_ref, ray.ObjectRef) else hot_ref
-        return df.merge(h, on=key_cols, how="inner")
-
-    return bands.map_batches(keep, batch_format="pandas")
-
-
-def dedup_pairs(pairs, a_col: str, b_col: str):
-    """Distributed global pair-dedup: per-batch ``drop_duplicates`` partial
-    then a hash-partitioned groupby keep-first (the same pair arrives from
-    multiple bands; the shuffle moves one row per pair per batch)."""
+def dedup_pairs(pairs, a_col: str, b_col: str, num_groups: int = 64):
+    """Distributed global pair-dedup: per-batch ``drop_duplicates`` partial,
+    then a shuffle on a coarse hash super-group of the pair (identical
+    pairs land in the same group) with a vectorized in-group
+    ``drop_duplicates`` — never one Python call per pair."""
 
     def local(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates([a_col, b_col])
+        df = df.drop_duplicates([a_col, b_col])
+        h = pd.util.hash_pandas_object(df[[a_col, b_col]], index=False).to_numpy()
+        return df.assign(_pg=(h.astype(np.uint64) % np.uint64(num_groups)).astype(np.int64))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates([a_col, b_col]).drop(columns=["_pg"])
 
     pre = pairs.map_batches(local, batch_format="pandas")
-    return pre.groupby([a_col, b_col]).map_groups(
-        lambda df: df.head(1), batch_format="pandas"
-    )
+    return pre.groupby("_pg").map_groups(merge, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -205,19 +205,22 @@ def q_phash_neardup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     """Near-duplicate images by phash, fully distributed:
 
     1. 4 x 16-bit band explode (vectorized, phash carried along);
-    2. ``groupby(band, key).map_groups`` pair-gen with IN-GROUP vectorized
-       hamming64 verify — only verified pairs leave the group, and
-       pathological buckets are logged, never capped;
-    3. distributed global pair-dedup (a pair can match in several bands).
+    2. shuffle on a COARSE super-group of the band bucket (~64 groups —
+       all rows of a bucket land in one group; per-bucket map_groups and
+       the native join were measured 10-40x slower at 10^5 buckets);
+    3. inside each super-group: sort by bucket, vectorized run-length pair
+       generation (``dedup.bucket_pair_indices``), vectorized hamming64
+       verify — only verified pairs leave the group;
+    4. per-group pair dedup; the final cross-group dedup happens on the
+       OUTPUT-scale pair frame (which crosses the driver anyway as the
+       query result).
 
     With ``max_hamming <= 3`` the 4-band LSH is EXACT by pigeonhole (at
     most 3 differing bits touch at most 3 of the 4 bands, so one band
     matches) — the result equals brute-force all-pairs, which is both the
-    DuckDB oracle (``__ray_entry__.WORLD_ORACLE``) and the pytest parity
-    oracle."""
-    from . import dedup as dd
+    DuckDB oracle (``__ray_entry__.world_oracle_sql``) and the pytest
+    parity oracle."""
     from .codecs import hamming64
-    from .dedup import dedup_pairs
     from .worlds import load_world, sf_of_dir
 
     images_path, _, _ = load_world(sf_of_dir(sf_dir))
@@ -226,16 +229,16 @@ def q_phash_neardup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     def bands(df: pd.DataFrame) -> pd.DataFrame:
         ph = df.phash.to_numpy().astype(np.int64)
         u = ph.view(np.uint64)
-        n = len(df)
-        band = np.repeat(np.arange(4, dtype=np.int64), n)
+        band = np.repeat(np.arange(4, dtype=np.int64), len(df))
         key = np.concatenate(
             [((u >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64) for b in range(4)]
         )
+        bkey = (band << 17) | key  # composite bucket key, band in high bits
         return pd.DataFrame(
             {
                 "image_id": np.tile(df.image_id.to_numpy(), 4),
-                "band": band,
-                "key": key,
+                "bkey": bkey,
+                "_sg": dd.supergroup_of(bkey),
                 "phash": np.tile(ph, 4),
             }
         )
@@ -248,34 +251,26 @@ def q_phash_neardup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
         }
     )
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("image_id").sort_values("image_id", kind="stable")
-        m = len(g)
-        if m < 2:
+    def pairs_in_supergroup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["bkey", "image_id"], kind="stable").reset_index(drop=True)
+        A, B = dd.bucket_pair_indices(g.bkey.to_numpy())
+        if not len(A):
             return EMPTY
-        from .dedup import PATHOLOGICAL_BUCKET
-
-        if m > PATHOLOGICAL_BUCKET:
-            print(f"[phash-neardup] pathological bucket: {m} ids -> {m*(m-1)//2} pairs")
         ids = g.image_id.to_numpy()
         ph = g.phash.to_numpy()
-        ii, jj = np.triu_indices(m, k=1)
-        hd = hamming64(ph[ii], ph[jj])
+        hd = hamming64(ph[A], ph[B])
         keep = hd <= max_hamming
-        return pd.DataFrame(
-            {"img_a": ids[ii[keep]], "img_b": ids[jj[keep]], "hamming": hd[keep].astype(np.int64)}
+        out = pd.DataFrame(
+            {"img_a": ids[A[keep]], "img_b": ids[B[keep]], "hamming": hd[keep].astype(np.int64)}
         )
+        return out.drop_duplicates(["img_a", "img_b"])
 
     banded = ds.map_batches(bands, batch_format="pandas")
-    # prune singleton buckets BEFORE the per-group pair-gen: per-group
-    # overhead is paid only for the collision-bounded hot buckets
-    hot = dd.filter_hot_buckets(banded, ["band", "key"])
-    if hot is None:
-        return EMPTY
-    pairs = hot.groupby(["band", "key"]).map_groups(pairs_in_bucket, batch_format="pandas")
-    out = dedup_pairs(pairs, "img_a", "img_b").to_pandas()
+    pairs = banded.groupby("_sg").map_groups(pairs_in_supergroup, batch_format="pandas")
+    out = pairs.to_pandas()
     if not len(out):
         return EMPTY
+    out = out.drop_duplicates(["img_a", "img_b"])  # cross-group dups, output-scale
     out["hamming"] = out.hamming.astype(np.int64)
     return out[["img_a", "img_b", "hamming"]].sort_values(["img_a", "img_b"]).reset_index(drop=True)
 

@@ -124,10 +124,11 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
 
     1. shingle→minhash→band keys (vectorized ``MinHashStage``, exploded
        one row per (doc, band));
-    2. ``groupby(band, band_hash).map_groups`` candidate pair-gen — pairs
-       are emitted inside the shuffle, never on the driver, and
-       pathological buckets are logged, not capped;
-    3. distributed global pair-dedup (same pair arrives from many bands);
+    2. shuffle on a COARSE super-group of the band bucket with vectorized
+       run-length pair generation inside (the same pattern as
+       ``q_phash_neardup`` — per-bucket map_groups and the native join
+       were measured 10-40x slower), per-group pair dedup;
+    3. global pair-dedup on the candidate-pair-scale stream;
     4. Jaccard verify inside ``map_batches`` over the pair stream against a
        **broadcast of only the candidate docs' texts** (the candidate set
        is pair-bounded — the full documents table never reaches the
@@ -146,14 +147,26 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
     bands = docs.map_batches(
         dd.MinHashStage, batch_format="pandas", concurrency=(1, 4), batch_size=256
     )
-    # prune singleton buckets before per-group pair-gen (vectorized count
-    # aggregate + broadcast hot-bucket filter — see dedup.filter_hot_buckets)
-    hot = dd.filter_hot_buckets(bands, ["band", "band_hash"])
-    if hot is None:
-        return EMPTY
-    pairs = hot.groupby(["band", "band_hash"]).map_groups(
-        dd.bucket_pair_gen("doc_id", "doc_a", "doc_b"), batch_format="pandas"
-    )
+
+    def band_key(df: pd.DataFrame) -> pd.DataFrame:
+        # fold (band, band_hash) into one int64 bucket key (injective mod
+        # 2^64: band < 32 occupies the low 5 bits)
+        bkey = (df.band_hash.to_numpy() << 5) | df.band.to_numpy()
+        return pd.DataFrame(
+            {"doc_id": df.doc_id, "bkey": bkey, "_sg": dd.supergroup_of(bkey)}
+        )
+
+    def pairs_in_supergroup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["bkey", "doc_id"], kind="stable").reset_index(drop=True)
+        A, B = dd.bucket_pair_indices(g.bkey.to_numpy())
+        if not len(A):
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        ids = g.doc_id.to_numpy()
+        out = pd.DataFrame({"doc_a": ids[A], "doc_b": ids[B]})
+        return out.drop_duplicates(["doc_a", "doc_b"])
+
+    keyed = bands.map_batches(band_key, batch_format="pandas")
+    pairs = keyed.groupby("_sg").map_groups(pairs_in_supergroup, batch_format="pandas")
     pairs = dd.dedup_pairs(pairs, "doc_a", "doc_b").materialize()
     if not pairs.count():
         return EMPTY
