@@ -89,10 +89,10 @@ def _q_triangulate(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     from citygml2objv2_ray import worlds
-    from citygml2objv2_ray.pipelines.geometry import triangulate_surfaces
+    from citygml2objv2_ray.pipelines.geometry import surfaces_dataset, triangulate_surfaces
 
     _, surfaces, _ = worlds.load_world(worlds.sf_of_dir(sf_dir))
-    tris = triangulate_surfaces(rd.from_arrow(surfaces))
+    tris = triangulate_surfaces(surfaces_dataset(surfaces))
     agg = tris.groupby("building_id").aggregate(
         Count(alias_name="n_tri"), Sum("area", alias_name="total_area")
     )
@@ -106,10 +106,10 @@ def _q_building_bboxes(sf_dir: str):
     import ray.data as rd
 
     from citygml2objv2_ray import worlds
-    from citygml2objv2_ray.pipelines.geometry import building_bboxes
+    from citygml2objv2_ray.pipelines.geometry import building_bboxes, surfaces_dataset
 
     _, surfaces, _ = worlds.load_world(worlds.sf_of_dir(sf_dir))
-    df = building_bboxes(rd.from_arrow(surfaces))
+    df = building_bboxes(surfaces_dataset(surfaces))
     for c in ["xmin", "ymin", "zmin", "xmax", "ymax", "zmax", "tx", "ty", "tz"]:
         df[c] = df[c].round(6)
     return df
@@ -123,10 +123,10 @@ def _q_semantic_areas(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     from citygml2objv2_ray import worlds
-    from citygml2objv2_ray.pipelines.geometry import triangulate_surfaces
+    from citygml2objv2_ray.pipelines.geometry import surfaces_dataset, triangulate_surfaces
 
     _, surfaces, _ = worlds.load_world(worlds.sf_of_dir(sf_dir))
-    tris = triangulate_surfaces(rd.from_arrow(surfaces))
+    tris = triangulate_surfaces(surfaces_dataset(surfaces))
     agg = tris.groupby("semantic").aggregate(
         Count(alias_name="n_tri"), Sum("area", alias_name="total_area")
     )
@@ -173,9 +173,10 @@ def _q_components(sf_dir: str):
         component_sidecars,
         separate_components,
     )
+    from citygml2objv2_ray.pipelines.geometry import surfaces_dataset
 
     _, surfaces, _ = worlds.load_world(worlds.sf_of_dir(sf_dir))
-    df = component_sidecars(separate_components(rd.from_arrow(surfaces)))
+    df = component_sidecars(separate_components(surfaces_dataset(surfaces)))
     for c in ["xmin", "ymin", "zmin", "xmax", "ymax", "zmax", "tx", "ty", "tz"]:
         df[c] = df[c].round(6)
     return df

@@ -115,12 +115,12 @@ def run_bench() -> dict:
     # per-class OBJ (single materialization, streamed class writers)
     import ray.data as rd
 
-    from citygml2objv2_ray.pipelines.geometry import triangulate_surfaces
+    from citygml2objv2_ray.pipelines.geometry import surfaces_dataset, triangulate_surfaces
     from citygml2objv2_ray.sinks.obj import write_obj_per_class
 
     t0 = time.perf_counter()
     out_dir = f"/tmp/citygml2objv2_ray_bench/obj-{uuid.uuid4().hex[:8]}"
-    write_obj_per_class(triangulate_surfaces(rd.from_arrow(surfaces)), out_dir)
+    write_obj_per_class(triangulate_surfaces(surfaces_dataset(surfaces)), out_dir)
     queries["obj_convert"] = round(time.perf_counter() - t0, 3)
 
     return {

