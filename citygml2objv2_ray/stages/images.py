@@ -204,7 +204,12 @@ class DecodeClip:
         for shape, idxs in by_shape.items():
             stack = np.stack([decoded[i] for i in idxs])
             if shape[0] % 8 == 0 and shape[1] % 8 == 0:
-                hashes = codecs.phash64_batch(stack)
+                # float32 fast path + exact float64 fallback on the (rare)
+                # mismatches — verification stays exact, bandwidth drops 4x
+                hashes = codecs.phash64_batch_f32(stack)
+                mism = np.flatnonzero(hashes != phash[idxs])
+                for m in mism:
+                    hashes[m] = codecs.phash64(decoded[idxs[m]])
             else:
                 hashes = np.array([codecs.phash64(decoded[i]) for i in idxs])
             ok[idxs] = hashes == phash[idxs]

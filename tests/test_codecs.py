@@ -160,3 +160,18 @@ class TestPhashBatch:
         batch = codecs.phash64_batch(stack)
         scalar = np.array([codecs.phash64(stack[i]) for i in range(32)])
         assert np.array_equal(batch, scalar)
+
+
+class TestPhashF32:
+    def test_f32_matches_f64_on_fixture_rasters(self):
+        """The float32 fast path must agree with the exact float64 phash on
+        the synthetic rasters (any residual mismatch is handled by the
+        per-image float64 fallback in DecodeClip)."""
+        from citygml2objv2_ray import codecs, synth
+
+        stack = np.stack([synth._raster(i) for i in range(64) if synth._raster(i).shape[0] == 32][:16])
+        f64 = codecs.phash64_batch(stack)
+        f32 = codecs.phash64_batch_f32(stack)
+        assert (f64 == f32).mean() >= 0.95  # borderline cells are rare
+        scalars = np.array([codecs.phash64(img) for img in stack])
+        assert np.array_equal(f64, scalars)
