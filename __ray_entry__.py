@@ -228,7 +228,12 @@ def _q_range_join(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from citygml2objv2_ray import relational, relational_ext, relational_ml  # noqa: F401
+    from citygml2objv2_ray import (  # noqa: F401
+        relational,
+        relational_ext,
+        relational_ml,
+        relational_stats,
+    )
 
     q = dict(relational.REGISTRY)
     q.update(
@@ -330,7 +335,12 @@ def world_oracle_sql(sf: float) -> dict[str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from citygml2objv2_ray import relational, relational_ext, relational_ml  # noqa: F401
+    from citygml2objv2_ray import (  # noqa: F401
+        relational,
+        relational_ext,
+        relational_ml,
+        relational_stats,
+    )
 
     out = dict(relational.ORACLE)
     # make sure the world parquet the SQL reads exists before the gate runs

@@ -8,10 +8,11 @@ print ONE JSON line:
     {"metric": ..., "value": <headline sec>, "unit": "sec",
      "queries": {...}, "sf": ..., "num_cpus": N, "throughput_rows_s": ...}
 
---scaling: run the headline pipeline twice in FRESH processes at
-num_cpus=8 and num_cpus=32 on the same (pre-generated, page-warmed) input
-and print both throughputs + scaling efficiency (the sandbox proxy for the
-north rule's N vs 4N node criterion — see BASELINE.md).
+--scaling: run the headline pipeline in FRESH processes at N and 4N CPUs
+(default 4 vs 16) on the same (pre-generated, page-warmed) input,
+INTERLEAVED best-of-N per level, and print both throughputs + scaling
+efficiency + a hardware-ceiling control (the sandbox proxy for the north
+rule's N vs 4N node criterion — see BASELINE.md).
 """
 
 from __future__ import annotations

@@ -51,7 +51,12 @@ def compare(ray_df, duck_df, name):
 
 @pytest.fixture(scope="module")
 def registry(ray_session):
-    from citygml2objv2_ray import relational, relational_ext, relational_ml  # noqa: F401
+    from citygml2objv2_ray import (  # noqa: F401
+        relational,
+        relational_ext,
+        relational_ml,
+        relational_stats,
+    )
 
     return relational.REGISTRY, relational.ORACLE
 
