@@ -143,6 +143,46 @@ def q_quantiles_sketch(sf_dir: str) -> pd.DataFrame:
 
 
 @query(
+    "q_sample_split",
+    """
+    SELECT doc_id,
+           CASE WHEN h < 52429 THEN 'train' ELSE 'val' END AS split
+    FROM (SELECT doc_id,
+                 CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS h
+          FROM documents)
+    WHERE h < 58982
+    ORDER BY doc_id
+    """,
+)
+def q_sample_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic content-hash sampling + train/val split (the
+    reproducible subset/split op of a training-data pipeline, SURVEY §2.F
+    "sampling": keep ~90% of docs — md5(doc_id) 16-bit prefix < 0.9*65536
+    — and split kept rows ~80/10 train/val on the same hash). Pure
+    vectorized per-batch filter: no shuffle, no state, identical rows on
+    any executor/partitioning — and SQL-checkable because the hash is
+    md5, not a Python-private hash."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.array(
+            [
+                int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16)
+                for d in df.doc_id
+            ],
+            dtype=np.int64,
+        )
+        keep = h < 58982  # ~0.9 * 65536
+        split = np.where(h[keep] < 52429, "train", "val")  # ~0.8 * 65536
+        return pd.DataFrame({"doc_id": df.doc_id.to_numpy()[keep], "split": split})
+
+    out = ds.map_batches(fn, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+@query(
     "q_topk_per_group",
     """
     SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
