@@ -198,6 +198,89 @@ def _q_ann_ivf(sf_dir: str):
     return ivf_search_distributed(ds, range(20), k=5, n_lists=16, nprobe=6)
 
 
+def _q_pip_assign(sf_dir: str):
+    """Point-in-polygon assignment + cell encode, SQL-checked: footprints
+    are axis-aligned rectangles, so PIP == bbox containment and the
+    deterministic first-match (ascending footprint index) == MIN
+    building_id — the flagship join core gets an exact DuckDB twin
+    (``world_oracle_sql``)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from citygml2objv2_ray import worlds
+    from citygml2objv2_ray.spatial import build_index
+    from citygml2objv2_ray.synth import grid_cell
+
+    images_path, _, footprints = worlds.load_world(worlds.sf_of_dir(sf_dir))
+    index_ref = ray.put(build_index(footprints))
+
+    def assign_batch(df: pd.DataFrame) -> pd.DataFrame:
+        idx = ray.get(index_ref) if isinstance(index_ref, ray.ObjectRef) else index_ref
+        cx = df.cx.to_numpy()
+        cy = df.cy.to_numpy()
+        a = idx.assign(cx, cy)
+        keep = a >= 0
+        return pd.DataFrame(
+            {
+                "image_id": df.image_id.to_numpy()[keep],
+                "cell": grid_cell(cx, cy, 64.0)[keep],
+                "building_id": idx.building_id[a[keep]],
+            }
+        )
+
+    ds = rd.read_parquet(images_path, columns=["image_id", "cx", "cy"])
+    out = ds.map_batches(assign_batch, batch_format="pandas").to_pandas()
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+def _q_knn_join(sf_dir: str):
+    """Exact k-nearest-footprint-centroid join (k=3), SQL-checked: the
+    engine's expanding-ring + per-cell-cache kNN must equal the brute-force
+    ROW_NUMBER window over the cross join (ties broken by building_id on
+    both sides)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from citygml2objv2_ray import worlds
+    from citygml2objv2_ray.spatial import build_index
+
+    import dataclasses
+
+    from citygml2objv2_ray.config import DEFAULT_CONFIG
+
+    images_path, _, footprints = worlds.load_world(worlds.sf_of_dir(sf_dir))
+    # unbounded ring search: the SQL twin is a global cross join, so the
+    # engine must find all k neighbours even for far-out open-terrain tiles
+    # (the flagship keeps the distance-bounded default)
+    cfg = dataclasses.replace(DEFAULT_CONFIG, knn_max_ring=64)
+    index_ref = ray.put(build_index(footprints, cfg))
+
+    def knn_batch(df: pd.DataFrame) -> pd.DataFrame:
+        idx = ray.get(index_ref) if isinstance(index_ref, ray.ObjectRef) else index_ref
+        ids, dists = idx.knn(df.cx.to_numpy(), df.cy.to_numpy(), k=3)
+        n, k = ids.shape
+        image_id = np.repeat(df.image_id.to_numpy(), k)
+        rank = np.tile(np.arange(1, k + 1, dtype=np.int64), n)
+        flat_i = ids.ravel()
+        keep = flat_i >= 0
+        return pd.DataFrame(
+            {
+                "image_id": image_id[keep],
+                "rank": rank[keep],
+                "neighbor_id": idx.building_id[flat_i[keep]],
+                "dist": np.round(dists.ravel()[keep], 4),
+            }
+        )
+
+    ds = rd.read_parquet(images_path, columns=["image_id", "cx", "cy"])
+    out = ds.map_batches(knn_batch, batch_format="pandas").to_pandas()
+    return out.sort_values(["image_id", "rank"]).reset_index(drop=True)
+
+
 def _q_range_join(sf_dir: str):
     """Buffered-bbox range join (one-to-many; rows-only, brute-force oracle
     in pytest): every (image, footprint) pair within a 3 m buffered bbox."""
@@ -247,6 +330,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "q_components": _q_components,
             "q_ann_ivf": _q_ann_ivf,
             "q_range_join": _q_range_join,
+            "q_pip_assign": _q_pip_assign,
+            "q_knn_join": _q_knn_join,
         }
     )
     return q
@@ -318,6 +403,38 @@ def world_oracle_sql(sf: float) -> dict[str, str]:
               ON i.cx >= f.xmin - 3.0 AND i.cx <= f.xmax + 3.0
              AND i.cy >= f.ymin - 3.0 AND i.cy <= f.ymax + 3.0
             ORDER BY image_id, building_id
+        """,
+        "q_pip_assign": f"""
+            WITH ic AS (
+                SELECT image_id, cx, cy,
+                       -- (ix << 32) | (iy & 0xFFFFFFFF) with two's-complement
+                       -- semantics (DuckDB rejects negative <<; low 32 bits
+                       -- of ix*2^32 are zero so | == +)
+                       CAST(floor(cx / 64.0) AS BIGINT) * 4294967296
+                       + (CAST(floor(cy / 64.0) AS BIGINT) & 4294967295) AS cell
+                FROM read_parquet('{images}')
+            )
+            SELECT i.image_id, i.cell, MIN(f.building_id) AS building_id
+            FROM ic i JOIN read_parquet('{footprints}') f
+              ON i.cx >= f.xmin AND i.cx <= f.xmax
+             AND i.cy >= f.ymin AND i.cy <= f.ymax
+            GROUP BY i.image_id, i.cell ORDER BY i.image_id
+        """,
+        "q_knn_join": f"""
+            SELECT image_id, CAST(rn AS BIGINT) AS rank, neighbor_id,
+                   ROUND(dist, 4) AS dist
+            FROM (
+                SELECT i.image_id, f.building_id AS neighbor_id,
+                       sqrt(power(i.cx - (f.xmin + f.xmax) / 2, 2)
+                            + power(i.cy - (f.ymin + f.ymax) / 2, 2)) AS dist,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY i.image_id
+                           ORDER BY sqrt(power(i.cx - (f.xmin + f.xmax) / 2, 2)
+                                         + power(i.cy - (f.ymin + f.ymax) / 2, 2)),
+                                    f.building_id) AS rn
+                FROM read_parquet('{images}') i
+                CROSS JOIN read_parquet('{footprints}') f
+            ) WHERE rn <= 3 ORDER BY image_id, rank
         """,
         "q_triangulate": f"""
             WITH p AS ({per_poly})

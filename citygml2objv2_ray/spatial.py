@@ -273,6 +273,10 @@ class FootprintIndex:
                     )
             kk = min(k, seen)
             part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            # deterministic tie-break: candidate columns ascending BEFORE
+            # the stable distance sort → exact-tie neighbours come out in
+            # footprint-index (= building_id) order, matching the SQL twin
+            part = np.sort(part, axis=1)
             rowd = np.take_along_axis(d, part, axis=1)
             srt = np.argsort(rowd, axis=1, kind="stable")
             part = np.take_along_axis(part, srt, axis=1)
