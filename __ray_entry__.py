@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         relational_ext,
         relational_ml,
         relational_stats,
+        streaming,
     )
 
     q = dict(relational.REGISTRY)
@@ -457,6 +458,7 @@ def oracle_sql() -> dict[str, str]:
         relational_ext,
         relational_ml,
         relational_stats,
+        streaming,
     )
 
     out = dict(relational.ORACLE)

@@ -56,6 +56,7 @@ def registry(ray_session):
         relational_ext,
         relational_ml,
         relational_stats,
+        streaming,
     )
 
     return relational.REGISTRY, relational.ORACLE
