@@ -37,6 +37,8 @@ def convert(
     name: str = "model",
     semantics: bool = True,
     translate: bool = False,
+    preserve: bool = False,
+    group_markers: bool = True,
     cfg: EngineConfig = DEFAULT_CONFIG,
 ) -> dict[str, str]:
     """Convert every ``.gml``/``.xml`` under ``in_dir`` to per-class OBJ
@@ -58,8 +60,27 @@ def convert(
     if translate:
         delta = global_min_vertex(surfaces)
         surfaces = translate_surfaces(surfaces, delta)
-    tris = triangulate_surfaces(surfaces, cfg)
-    out = write_obj_per_class(tris, out_dir, name=name, cfg=cfg)
+    if preserve:
+        # -p / SKIPTRI (CityGML2OBJs.py:137-141): validate, keep valid
+        # polygons as n-gon faces, no triangulation
+        import pyarrow.compute as pc
+
+        from ..stages.geometry import clean_validate
+
+        validated = surfaces.map_batches(
+            clean_validate, batch_format="pyarrow", batch_size=cfg.geometry_batch_size
+        )
+        rows = validated.map_batches(
+            lambda b: b.filter(b["valid"].combine_chunks()), batch_format="pyarrow"
+        )
+        out = write_obj_per_class(
+            rows, out_dir, name=name, cfg=cfg, preserve=True, group_markers=group_markers
+        )
+    else:
+        tris = triangulate_surfaces(surfaces, cfg)
+        out = write_obj_per_class(
+            tris, out_dir, name=name, cfg=cfg, group_markers=group_markers
+        )
     write_mtl(os.path.join(out_dir, "colormap.mtl"), cfg.mtl_bins)
     return out
 

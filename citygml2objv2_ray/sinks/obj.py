@@ -64,6 +64,54 @@ def _intern_building(g: pd.DataFrame, decimals: int) -> pd.DataFrame:
     )
 
 
+def _intern_building_rings(g: pd.DataFrame, decimals: int) -> pd.DataFrame:
+    """Phase 1 for polypreserve mode (``-p`` / SKIPTRI,
+    CityGML2OBJs.py:137-141): each polygon becomes ONE face over its
+    cleaned ring minus the closure point; vertex interning is the same
+    first-appearance scheme as the triangle path. Emits ``face_lens`` so
+    the renderer can split the ragged face index list."""
+    from .. import geom
+
+    g = g.sort_values("poly_seq", kind="stable")
+    rings: list[np.ndarray] = []
+    for ext in g.exterior:
+        ring = geom.clean_ring(np.asarray([list(p) for p in ext], dtype=np.float64))
+        if len(ring) >= 4:
+            rings.append(ring[:-1])
+    if not rings:
+        return pd.DataFrame(
+            [
+                dict(
+                    building_id=g.building_id.iloc[0],
+                    building_seq=int(g.building_seq.iloc[0]),
+                    n_vertices=0, verts=[], faces=[], face_lens=[], n_faces=0,
+                )
+            ]
+        )
+    flat = np.concatenate(rings)
+    lens = [len(r) for r in rings]
+    keys = vertex_key(flat, decimals)
+    uniq, first_idx, inverse = np.unique(keys, return_index=True, return_inverse=True)
+    order = np.argsort(first_idx, kind="stable")
+    rank_of = np.empty(len(order), dtype=np.int64)
+    rank_of[order] = np.arange(len(order))
+    local_index = rank_of[inverse]
+    verts = flat[first_idx[order]]
+    return pd.DataFrame(
+        [
+            dict(
+                building_id=g.building_id.iloc[0],
+                building_seq=int(g.building_seq.iloc[0]),
+                n_vertices=len(verts),
+                verts=verts.ravel().tolist(),
+                faces=local_index.tolist(),
+                face_lens=lens,
+                n_faces=len(lens),
+            )
+        ]
+    )
+
+
 def _render_blocks(
     interned: rd.Dataset,
     cfg: EngineConfig,
@@ -108,13 +156,16 @@ def _render_blocks(
                         np.array([val]), mtl_range[0], mtl_range[1], cfg.mtl_bins
                     )[0]
                     lines.append(f"usemtl m{round(b * (cfg.mtl_bins - 1)):03d}")
-            f = (
-                np.asarray(row.faces, dtype=np.int64).reshape(-1, 3)
-                + 1
-                + offs[int(row.building_seq)]
-            )
-            for a, b_, c in f:
-                lines.append(f"f {a} {b_} {c}")
+            fidx = np.asarray(row.faces, dtype=np.int64) + 1 + offs[int(row.building_seq)]
+            if hasattr(row, "face_lens") and row.face_lens is not None:
+                # polypreserve: ragged faces (one per polygon)
+                pos = 0
+                for ln in row.face_lens:
+                    lines.append("f " + " ".join(str(i) for i in fidx[pos : pos + ln]))
+                    pos += ln
+            else:
+                for a, b_, c in fidx.reshape(-1, 3):
+                    lines.append(f"f {a} {b_} {c}")
             texts.append("\n".join(lines))
         return pd.DataFrame({"building_seq": df.building_seq.to_numpy(), "text": texts})
 
@@ -128,6 +179,7 @@ def write_obj_class(
     group_markers: bool = True,
     mtl_values: dict[str, float] | None = None,
     mtl_range: tuple[float, float] | None = None,
+    preserve: bool = False,
 ) -> None:
     """Assemble one semantic class's triangle rows into OBJ text, STREAMED
     to ``fh`` in ``building_seq`` order.
@@ -142,12 +194,14 @@ def write_obj_class(
     # is paid ~n_buildings/64 times, not once per building (measured 3x
     # on the sf0.1 OBJ convert). building_id grouping semantics unchanged:
     # the bucket is a pure function of building_seq.
+    intern_fn = _intern_building_rings if preserve else _intern_building
+
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         return df.assign(_bucket=(df.building_seq.to_numpy() // 64))
 
     def intern_bucket(g: pd.DataFrame) -> pd.DataFrame:
         out = [
-            _intern_building(bg, cfg.vertex_round_decimals)
+            intern_fn(bg, cfg.vertex_round_decimals)
             for _, bg in g.groupby("building_id", sort=False)
         ]
         return pd.concat(out).drop(columns=["_bucket"], errors="ignore")
@@ -192,13 +246,17 @@ def write_obj_per_class(
     out_dir: str,
     name: str = "model",
     cfg: EngineConfig = DEFAULT_CONFIG,
+    preserve: bool = False,
+    group_markers: bool = True,
 ) -> dict[str, str]:
     """One OBJ file per nonempty semantic class:
-    ``<name>-<class>.obj`` (CityGML2OBJs.py:810-822).
+    ``<name>-<class>.obj`` (CityGML2OBJs.py:810-822). With
+    ``preserve=True`` the input is the VALIDATED SURFACES table and each
+    polygon becomes one n-gon face (``-p`` / SKIPTRI parity).
 
-    The triangle table is materialized ONCE; the per-class passes filter
-    the cached blocks (object-store reads), never re-executing the
-    upstream triangulation pipeline."""
+    The input table is materialized ONCE; the per-class passes filter the
+    cached blocks (object-store reads), never re-executing the upstream
+    pipeline."""
     os.makedirs(out_dir, exist_ok=True)
     import pyarrow.compute as pc
 
@@ -212,7 +270,7 @@ def write_obj_per_class(
         )
         path = os.path.join(out_dir, f"{name}-{cl}.obj")
         with open(path, "w") as f:
-            write_obj_class(sub, f, cfg)
+            write_obj_class(sub, f, cfg, group_markers=group_markers, preserve=preserve)
         out[cl] = path
     return out
 

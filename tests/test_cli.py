@@ -1,0 +1,68 @@
+"""CLI flag-surface parity (CityGML2OBJs.py:197-252): each reference
+invocation shape must run end-to-end through the engine and produce the
+corresponding artifacts."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def gml_dir(ray_session, tmp_path_factory):
+    from citygml2objv2_ray import synth
+    from citygml2objv2_ray.sources.citygml import surfaces_to_gml
+
+    surfaces, _ = synth.make_city(8, seed=42, corruption=0.0)
+    d = tmp_path_factory.mktemp("gml")
+    (d / "city.gml").write_bytes(surfaces_to_gml(surfaces))
+    return d
+
+
+def _run(argv):
+    from citygml2objv2_ray.cli import build_parser, run
+
+    return run(build_parser().parse_args(argv))
+
+
+class TestCLI:
+    def test_default_convert(self, gml_dir, tmp_path):
+        out = _run(["-i", str(gml_dir), "-o", str(tmp_path)])
+        assert "WallSurface" in out["obj"]
+        assert (tmp_path / "colormap.mtl").exists()
+
+    def test_polypreserve_ngon_faces(self, gml_dir, tmp_path):
+        """-p 1: faces are n-gons over the cleaned rings, no triangles."""
+        out = _run(["-i", str(gml_dir), "-o", str(tmp_path), "-p", "1"])
+        path = out["obj"]["GroundSurface"]
+        faces = [
+            line.split()[1:]
+            for line in open(path)
+            if line.startswith("f ")
+        ]
+        assert faces and all(len(f) == 4 for f in faces)  # ground quads stay quads
+        # vertex indices valid
+        n_verts = sum(1 for line in open(path) if line.startswith("v "))
+        assert max(int(i) for f in faces for i in f) <= n_verts
+
+    def test_translate_gml_write(self, gml_dir, tmp_path):
+        out = _run(["-i", str(gml_dir), "-o", str(tmp_path), "-tCw", "1"])
+        assert (tmp_path / "model_local_.gml").exists()
+        assert (tmp_path / "translation_params.txt").exists()
+        assert len(out["translation_params"]) == 3
+        # translated file re-parses
+        from citygml2objv2_ray.sources.citygml import parse_citygml_document
+
+        rows = parse_citygml_document((tmp_path / "model_local_.gml").read_bytes(), "d")
+        assert len(rows) > 0
+
+    def test_separate_components(self, gml_dir, tmp_path):
+        import pandas as pd
+
+        out = _run(
+            ["-i", str(gml_dir), "-o", str(tmp_path), "-sepC", "1", "-appW", "1", "-addBB", "1"]
+        )
+        assert out["n_component_files"] > 8
+        idx = pd.read_parquet(out["sidecar"])
+        assert {"building_id", "component_seq", "tx"} <= set(idx.columns)
+        assert (idx.groupby("building_id").size() > 0).all()
