@@ -437,6 +437,59 @@ def world_oracle_sql(sf: float) -> dict[str, str]:
                 CROSS JOIN read_parquet('{footprints}') f
             ) WHERE rn <= 3 ORDER BY image_id, rank
         """,
+        "q_components": f"""
+            WITH src AS (
+                SELECT building_id, building_seq, feature_id, semantic, poly_seq,
+                       exterior, interiors, len(exterior) AS L0
+                FROM read_parquet('{surfaces}')
+            ),
+            bpts AS (SELECT building_id, unnest(exterior) AS pt FROM src),
+            bt AS (SELECT building_id,
+                          ((MIN(pt[1]) - 3.0) + (MAX(pt[1]) + 3.0)) / 2 AS tx,
+                          ((MIN(pt[2]) - 3.0) + (MAX(pt[2]) + 3.0)) / 2 AS ty,
+                          ((MIN(pt[3]) - 3.0) + (MAX(pt[3]) + 3.0)) / 2 AS tz
+                   FROM bpts GROUP BY building_id),
+            cl AS (SELECT *, list_transform(
+                       list_filter(range(1, L0 + 1),
+                                   i -> i = 1 OR exterior[i] != exterior[i-1]),
+                       i -> exterior[i]) AS cleaned
+                   FROM src),
+            cc AS (SELECT *, len(cleaned) AS C,
+                          (cleaned[1] = cleaned[len(cleaned)]) AS closed
+                   FROM cl),
+            nt AS (SELECT *,
+                       CASE WHEN C < 4 THEN 0 WHEN C = 4 THEN 1
+                            ELSE C - (CASE WHEN closed THEN 1 ELSE 0 END)
+                                 + coalesce(list_sum(list_transform(interiors, h -> len(h) - 1)), 0)
+                                 + 2 * len(interiors) - 2 END AS n_tri,
+                       CASE WHEN C < 4 THEN cleaned[2:1]
+                            WHEN C = 4 THEN cleaned[1:3]
+                            ELSE list_concat(cleaned, flatten(interiors)) END AS boxpts
+                   FROM cc),
+            seq AS (SELECT *, CAST(ROW_NUMBER() OVER (
+                        PARTITION BY building_id ORDER BY poly_seq) - 1 AS BIGINT)
+                        AS component_seq
+                    FROM nt),
+            ex AS (SELECT building_id, component_seq, unnest(boxpts) AS p FROM seq),
+            box AS (SELECT building_id, component_seq,
+                           MIN(p[1]) AS x0, MIN(p[2]) AS y0, MIN(p[3]) AS z0,
+                           MAX(p[1]) AS x1, MAX(p[2]) AS y1, MAX(p[3]) AS z1
+                    FROM ex GROUP BY building_id, component_seq)
+            SELECT s.building_id, CAST(s.building_seq AS BIGINT) AS building_seq,
+                   s.component_seq, s.feature_id, s.semantic,
+                   CAST(s.n_tri AS BIGINT) AS n_tri,
+                   ROUND(coalesce(b.x0 - t.tx, 0.0), 6) AS xmin,
+                   ROUND(coalesce(b.y0 - t.ty, 0.0), 6) AS ymin,
+                   ROUND(coalesce(b.z0 - t.tz, 0.0), 6) AS zmin,
+                   ROUND(coalesce(b.x1 - t.tx, 0.0), 6) AS xmax,
+                   ROUND(coalesce(b.y1 - t.ty, 0.0), 6) AS ymax,
+                   ROUND(coalesce(b.z1 - t.tz, 0.0), 6) AS zmax,
+                   ROUND(t.tx, 6) AS tx, ROUND(t.ty, 6) AS ty, ROUND(t.tz, 6) AS tz
+            FROM seq s
+            JOIN bt t USING (building_id)
+            LEFT JOIN box b USING (building_id, component_seq)
+            ORDER BY s.building_seq, s.component_seq
+        """,
         "q_triangulate": f"""
             WITH p AS ({per_poly})
             SELECT building_id, CAST(SUM(poly_tris) AS BIGINT) AS n_tri,

@@ -60,7 +60,13 @@ def run_bench() -> dict:
 
     from citygml2objv2_ray import worlds
     from citygml2objv2_ray.pipelines.flagship import run_flagship
-    from citygml2objv2_ray import relational, relational_ext, relational_ml  # noqa: F401
+    from citygml2objv2_ray import (  # noqa: F401
+        relational,
+        relational_ext,
+        relational_ml,
+        relational_stats,
+        streaming,
+    )
 
     sf = worlds.sf_of_dir(SF_DIR)
     # world generation is one-time input materialization (cached, untimed)
@@ -106,6 +112,9 @@ def run_bench() -> dict:
         "q_phash_neardup",
         "q_minhash_neardup",
         "q_embedding_neardup_lsh",
+        "q_quantiles_exact",
+        "q_topk_per_group",
+        "q_stream_window_hourly",
     ]:
         fn = relational.REGISTRY[name]
         t0 = time.perf_counter()

@@ -66,8 +66,10 @@ def separate_components(
             [np.asarray([list(p) for p in ext], dtype=np.float64) for ext in g.exterior]
         )
         bbox = geom.buffered_bbox(all_pts, cfg.bbox_buffer)
-        corners = geom.bbox_corner_points(bbox)
-        trans = corners.mean(axis=0) if translate_per_building else np.zeros(3)
+        # mean of the 8 buffered corners == buffered-bbox center; computed
+        # as (lo + hi) / 2 so the DuckDB twin can reproduce it bitwise
+        # (pairwise-summation np.mean is not SQL-expressible)
+        trans = (bbox[:3] + bbox[3:]) / 2 if translate_per_building else np.zeros(3)
 
         rows = []
         cseq = 0
