@@ -283,11 +283,17 @@ def cosine_topk(queries: np.ndarray, corpus: np.ndarray, k: int) -> tuple[np.nda
     return idx, sc
 
 
+def hyperplane_planes(dim: int, n_planes: int = 12, seed: int = 11) -> np.ndarray:
+    """The seeded random hyperplane matrix (dim, n_planes) — exposed so the
+    DuckDB oracle can embed the same constants."""
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(dim, n_planes))
+
+
 def hyperplane_buckets(vecs: np.ndarray, n_planes: int = 12, seed: int = 11) -> np.ndarray:
     """LSH sign buckets from random hyperplanes → int64 bucket per row (the
     scale path for near-dup: only same-bucket pairs are compared)."""
-    rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(vecs.shape[1], n_planes))
+    planes = hyperplane_planes(vecs.shape[1], n_planes, seed)
     signs = (np.asarray(vecs, dtype=np.float64) @ planes) > 0
     weights = (1 << np.arange(n_planes)).astype(np.int64)
     return (signs @ weights).astype(np.int64)

@@ -275,9 +275,34 @@ def q_phash_neardup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     return out[["img_a", "img_b", "hamming"]].sort_values(["img_a", "img_b"]).reset_index(drop=True)
 
 
-# rows-only: hyperplane-LSH embedding near-dup (the scale path; label-blocked
-# exact variant is SQL-checked as q_embedding_neardup)
-@query("q_embedding_neardup_lsh")
+def _lsh_oracle_sql(dim: int = 64, n_planes: int = 8, seed: int = 11) -> str:
+    """DuckDB twin for the hyperplane-LSH near-dup: the SAME seeded plane
+    constants are embedded in the SQL (full-precision repr), buckets are
+    the same sign-bit codes, candidate pairs the same bucket self-join."""
+    planes = dd.hyperplane_planes(dim, n_planes, seed)
+    terms = []
+    for j in range(n_planes):
+        vec = "[" + ", ".join(repr(float(x)) for x in planes[:, j]) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding, {vec}) > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    bucket = "\n             + ".join(terms)
+    return f"""
+    WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               {bucket} AS bucket
+               FROM embeddings)
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.emb, c.emb), 4) AS cos
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE list_cosine_similarity(a.emb, c.emb) >= 0.3
+    ORDER BY vec_a, vec_b
+    """
+
+
+# hyperplane-LSH embedding near-dup (the scale path; label-blocked exact
+# variant is q_embedding_neardup) — SQL-checked: the oracle embeds the same
+# seeded plane constants
+@query("q_embedding_neardup_lsh", _lsh_oracle_sql())
 def q_embedding_neardup_lsh(sf_dir: str, threshold: float = 0.3) -> pd.DataFrame:
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
@@ -291,9 +316,17 @@ def q_embedding_neardup_lsh(sf_dir: str, threshold: float = 0.3) -> pd.DataFrame
             }
         )
 
+    EMPTY_PAIRS = pd.DataFrame(
+        {
+            "vec_a": pd.Series(dtype=np.int64),
+            "vec_b": pd.Series(dtype=np.int64),
+            "cos": pd.Series(dtype=np.float64),
+        }
+    )
+
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []})
+            return EMPTY_PAIRS
         V = np.vstack(g.embedding.to_numpy()).astype(np.float64)
         vn = dd.normalize_rows(V)
         sims = vn @ vn.T
@@ -317,5 +350,7 @@ def q_embedding_neardup_lsh(sf_dir: str, threshold: float = 0.3) -> pd.DataFrame
     )
     df = res.to_pandas()
     if not len(df):
-        return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []})
+        return EMPTY_PAIRS
+    df["vec_a"] = df.vec_a.astype(np.int64)
+    df["vec_b"] = df.vec_b.astype(np.int64)
     return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
