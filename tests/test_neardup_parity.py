@@ -119,3 +119,66 @@ class TestMinhashKernels:
         kc = dd.lsh_bands(mh.signature(dd.char_shingles(c)), 16)
         assert (ka == kb).any()
         assert not (ka == kc).any()
+
+
+class TestPairGenCore:
+    def test_bucket_pair_indices_matches_bruteforce(self):
+        """Property: the run-length pair generator equals the O(n^2) brute
+        force on any sorted key array."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from citygml2objv2_ray.dedup import bucket_pair_indices
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(st.integers(0, 8), max_size=60))
+        def check(keys):
+            k = np.sort(np.asarray(keys, dtype=np.int64))
+            A, B = bucket_pair_indices(k)
+            got = {(int(a), int(b)) for a, b in zip(A, B)}
+            want = {
+                (i, j)
+                for i in range(len(k))
+                for j in range(i + 1, len(k))
+                if k[i] == k[j]
+            }
+            assert got == want
+
+        check()
+
+    def test_supergroup_partitioning_invariance(self, ray_session):
+        """The pair set must not depend on how rows are partitioned into
+        blocks (the super-group key is a pure function of the bucket)."""
+        import ray.data as rd
+
+        from citygml2objv2_ray import dedup as dd
+
+        rng = np.random.default_rng(3)
+        n = 500
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "bkey": rng.integers(0, 80, size=n).astype(np.int64),
+            }
+        )
+        df["_sg"] = dd.supergroup_of(df.bkey.to_numpy())
+
+        def pairs_in_supergroup(g):
+            g = g.sort_values(["bkey", "doc_id"], kind="stable").reset_index(drop=True)
+            A, B = dd.bucket_pair_indices(g.bkey.to_numpy())
+            ids = g.doc_id.to_numpy()
+            return pd.DataFrame({"a": ids[A], "b": ids[B]})
+
+        results = []
+        for nblocks in (1, 7, 32):
+            ds = rd.from_pandas(df).repartition(nblocks)
+            out = (
+                ds.groupby("_sg")
+                .map_groups(pairs_in_supergroup, batch_format="pandas")
+                .to_pandas()
+                .sort_values(["a", "b"])
+                .reset_index(drop=True)
+            )
+            results.append(out)
+        pd.testing.assert_frame_equal(results[0], results[1])
+        pd.testing.assert_frame_equal(results[0], results[2])
