@@ -159,15 +159,28 @@ def lsh_bands(sig: np.ndarray, bands: int = 16) -> np.ndarray:
     return lsh_band_keys(np.asarray(sig, dtype=np.uint64)[None, :], bands)[0]
 
 
+def md5_token_ids(tokens) -> np.ndarray:
+    """First 64 bits of md5 per token → uint64. md5 (not FNV / Python
+    hash) so ANY engine can recompute the same ids — the DuckDB SimHash
+    oracle relies on it."""
+    import hashlib
+
+    return np.array(
+        [int(hashlib.md5(t.encode()).hexdigest()[:16], 16) for t in tokens],
+        dtype=np.uint64,
+    )
+
+
 def simhash64(text: str) -> int:
-    """SimHash: signed bit-vote over stable token hashes (unique tokens
+    """SimHash: signed bit-vote over md5 token hashes (unique tokens
     hashed once, votes weighted by count — identical result, fewer
-    hashes)."""
+    hashes). Engine-stable AND SQL-reproducible (see
+    relational_ml.q_simhash's DuckDB twin)."""
     toks = text.lower().split()
     if not toks:
         return 0
     uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
-    ids = _stable_token_ids(uniq)
+    ids = md5_token_ids(uniq)
     bits = ((ids[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
         np.int64
     )

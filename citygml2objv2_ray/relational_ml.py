@@ -212,8 +212,33 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
     return res.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
-@query("q_simhash")
+@query(
+    "q_simhash",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+        FROM documents
+    ),
+    th AS (SELECT doc_id, CAST(CONCAT('0x', substr(md5(w), 1, 16)) AS UBIGINT) AS h
+           FROM toks WHERE w <> ''),
+    votes AS (SELECT doc_id, j,
+                     SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+              FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS j) js
+              GROUP BY doc_id, j),
+    sh AS (SELECT doc_id,
+                  CAST(SUM(CASE WHEN vote > 0 THEN
+                       CASE WHEN j = 63 THEN -9223372036854775808
+                            ELSE (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) END
+                       ELSE 0 END) AS BIGINT) AS simhash
+           FROM votes GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(sh.simhash, 0) AS simhash
+    FROM documents d LEFT JOIN sh USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
 def q_simhash(sf_dir: str) -> pd.DataFrame:
+    """SimHash per document — SQL-checked: the md5-anchored token hash lets
+    DuckDB recompute the identical signed bit-vote signature."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
