@@ -105,10 +105,61 @@ def q_exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
     return df
 
 
-# rows-only: heuristic language ID (accuracy asserted against the lang
-# column in pytest, not SQL-expressible)
-@query("q_langid")
+_STOPLIST_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in sorted(ws)) + "]"
+    for lang, ws in tx.STOPWORDS.items()
+}
+
+
+@query(
+    "q_langid",
+    f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+               list_transform(regexp_extract_all(text, '[a-zA-ZÀ-ÿ]+'),
+                              w -> lower(w)) AS words
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE CAST(array_length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               END AS n_tokens,
+               len(words) AS nw,
+               len(list_filter(words, w -> list_contains({_STOPLIST_SQL['en']}, w))) AS c_en,
+               len(list_filter(words, w -> list_contains({_STOPLIST_SQL['de']}, w))) AS c_de,
+               len(list_filter(words, w -> list_contains({_STOPLIST_SQL['fr']}, w))) AS c_fr,
+               len(list_filter(words, w -> list_contains({_STOPLIST_SQL['es']}, w))) AS c_es,
+               CAST(CONCAT('0x', substr(md5(norm), 1, 16)) AS UBIGINT) AS fp_u
+        FROM base
+    ),
+    r AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN nw = 0 THEN 0.0 ELSE GREATEST(
+                   c_en * 1.0 / nw, c_de * 1.0 / nw, c_fr * 1.0 / nw, c_es * 1.0 / nw
+               ) END AS m,
+               c_en * 1.0 / GREATEST(nw, 1) AS s_en, c_de * 1.0 / GREATEST(nw, 1) AS s_de,
+               c_fr * 1.0 / GREATEST(nw, 1) AS s_fr, c_es * 1.0 / GREATEST(nw, 1) AS s_es,
+               nw, fp_u
+        FROM scored
+    )
+    SELECT doc_id,
+           CASE WHEN nw = 0 OR m <= 0.03 THEN 'unknown'
+                WHEN s_en = m THEN 'en' WHEN s_de = m THEN 'de'
+                WHEN s_fr = m THEN 'fr' ELSE 'es' END AS lang_pred,
+           n_tokens,
+           CAST(CASE WHEN fp_u >= CAST(9223372036854775808 AS UBIGINT)
+                     THEN CAST(fp_u AS HUGEINT) - 18446744073709551616
+                     ELSE CAST(fp_u AS HUGEINT) END AS BIGINT) AS fingerprint
+    FROM r ORDER BY doc_id
+    """,
+)
 def q_langid(sf_dir: str) -> pd.DataFrame:
+    """Heuristic language ID + token count + md5-anchored fingerprint —
+    SQL-checked: the stopword-ratio argmax (first language in en/de/fr/es
+    order wins ties, > 0.03 threshold) and the fingerprint are both
+    recomputable in DuckDB."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(
         tx.TextScorer, batch_format="pandas", concurrency=(1, 4), batch_size=512

@@ -93,15 +93,14 @@ class TextScorer:
 
 
 def fingerprint64(texts: pd.Series) -> np.ndarray:
-    """Deterministic 64-bit document fingerprint: polynomial rolling hash of
+    """Deterministic 64-bit document fingerprint: first 64 bits of md5 of
     the whitespace-normalized lowercased text (stable across engines/runs —
-    NOT Python's salted hash)."""
+    NOT Python's salted hash — and md5-anchored so the DuckDB oracle can
+    recompute it)."""
     out = np.empty(len(texts), dtype=np.int64)
     for i, t in enumerate(texts.fillna("")):
         norm = _WS_RE.sub(" ", t.strip().lower())
-        h = 1469598103934665603  # FNV offset
-        for b in norm.encode():
-            h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+        h = int(hashlib.md5(norm.encode()).hexdigest()[:16], 16)
         out[i] = h - (1 << 64) if h >= 1 << 63 else h
     return out
 
