@@ -49,6 +49,34 @@ def q_token_count(sf_dir: str) -> pd.DataFrame:
 
 
 @query(
+    "q_token_count_bpe",
+    f"""
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_extract_all(text, '{tx.BPE_PATTERN_SQL.replace("'", "''")}'),
+                                t -> trim(t) <> '')) AS BIGINT) AS n_tokens_bpe
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_token_count_bpe(sf_dir: str) -> pd.DataFrame:
+    """BPE-ish token counting (build brief: 'token counting (whitespace +
+    a BPE-ish regex)'): GPT-2-shaped pre-tokenizer, lookahead-free so the
+    DuckDB RE2 twin produces identical matches."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df.doc_id, "n_tokens_bpe": tx.bpe_token_count(df.text)}
+        )
+
+    return (
+        ds.map_batches(fn, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+@query(
     "q_quality",
     """
     SELECT doc_id,

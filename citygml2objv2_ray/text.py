@@ -36,6 +36,23 @@ def token_count(texts: pd.Series) -> np.ndarray:
     return np.where(stripped.str.len() == 0, 0, n).astype(np.int64)
 
 
+# BPE-ish pre-tokenizer (GPT-2 shaped, but lookahead-free so Python re and
+# DuckDB's RE2 agree): contraction suffixes, space-prefixed letter runs,
+# digit runs, punctuation runs, whitespace runs
+_BPE_RE = re.compile(r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-zÀ-ÿ]+| ?[0-9]+| ?[^\sA-Za-zÀ-ÿ0-9]+|\s+")
+BPE_PATTERN_SQL = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-zÀ-ÿ]+| ?[0-9]+| ?[^\sA-Za-zÀ-ÿ0-9]+|\s+"
+
+
+def bpe_token_count(texts: pd.Series) -> np.ndarray:
+    """BPE-ish token count: non-whitespace matches of the GPT-2-shaped
+    pre-tokenizer pattern. The pattern is alternation-only (no lookahead),
+    so ``regexp_extract_all`` in DuckDB produces the same matches."""
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts.fillna("")):
+        out[i] = sum(1 for m in _BPE_RE.findall(t) if m.strip())
+    return out
+
+
 def punct_stats(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     """(n_chars, n_punct) — sentence punctuation [.,!?]."""
     t = texts.fillna("")
