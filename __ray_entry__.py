@@ -137,13 +137,16 @@ def _q_semantic_areas(sf_dir: str):
 
 
 def _q_phash_dup_groups(sf_dir: str):
-    """Exact perceptual-hash dup groups over the images table."""
+    """Exact perceptual-hash dup groups over the images table, via the
+    cardinality-robust super-group aggregate (a 1M-image table has ~10^6
+    distinct phashes — Ray's per-key aggregate machinery degrades there;
+    ``ops.supergroup_agg`` stays vectorized)."""
     import numpy as np
     import pandas as pd
     import ray.data as rd
-    from ray.data.aggregate import Count, Min
 
     from citygml2objv2_ray import worlds
+    from citygml2objv2_ray.ops import supergroup_agg
 
     images_path, _, _ = worlds.load_world(worlds.sf_of_dir(sf_dir))
     ds = rd.read_parquet(images_path, columns=["image_id", "phash"])
@@ -152,16 +155,24 @@ def _q_phash_dup_groups(sf_dir: str):
         g = df.groupby("phash", sort=False).agg(n=("image_id", "size"), first_img=("image_id", "min"))
         return g.reset_index()
 
-    from ray.data.aggregate import Sum
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("phash", sort=False).agg(n=("n", "sum"), first_img=("first_img", "min"))
+        g = g.reset_index()
+        return g[g.n > 1]  # only dup groups leave the shuffle
 
-    partials = ds.map_batches(partial, batch_format="pandas")
-    agg = partials.groupby("phash").aggregate(
-        Sum("n", alias_name="n"), Min("first_img", alias_name="first_img")
-    )
+    agg = supergroup_agg(ds, ["phash"], partial, merge)
     df = agg.to_pandas()
-    df = df[df.n > 1].sort_values("phash").reset_index(drop=True)
+    if not len(df):
+        return pd.DataFrame(
+            {
+                "phash": pd.Series(dtype=np.int64),
+                "n": pd.Series(dtype=np.int64),
+                "first_img": pd.Series(dtype=object),
+            }
+        )
+    df = df.sort_values("phash").reset_index(drop=True)
     df["n"] = df.n.astype(np.int64)
-    return df
+    return df[["phash", "n", "first_img"]]
 
 
 def _q_components(sf_dir: str):

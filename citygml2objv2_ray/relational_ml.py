@@ -110,8 +110,12 @@ def q_quality(sf_dir: str) -> pd.DataFrame:
     """,
 )
 def q_exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
-    """Exact dedup: vectorized content hash per batch → partial counts →
-    tiny groupby; duplicate groups only."""
+    """Exact dedup: vectorized content hash per batch → cardinality-robust
+    super-group aggregate (the hash key space is one key per distinct doc
+    — Ray's per-key aggregate degrades past ~10^4 keys; see
+    ``ops.supergroup_agg``); duplicate groups only."""
+    from .ops import supergroup_agg
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -121,16 +125,25 @@ def q_exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
         )
         return g.reset_index()
 
-    partials = ds.map_batches(partial, batch_format="pandas")
-    from ray.data.aggregate import Min as RMin
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("content_hash", sort=False).agg(
+            n_docs=("n_docs", "sum"), first_doc=("first_doc", "min")
+        )
+        g = g.reset_index()
+        return g[g.n_docs > 1]
 
-    agg = partials.groupby("content_hash").aggregate(
-        Sum("n_docs", alias_name="n_docs"), RMin("first_doc", alias_name="first_doc")
-    )
-    df = agg.to_pandas()
-    df = df[df.n_docs > 1].sort_values("content_hash").reset_index(drop=True)
+    df = supergroup_agg(ds, ["content_hash"], partial, merge).to_pandas()
+    if not len(df):
+        return pd.DataFrame(
+            {
+                "content_hash": pd.Series(dtype=object),
+                "n_docs": pd.Series(dtype=np.int64),
+                "first_doc": pd.Series(dtype=np.int64),
+            }
+        )
+    df = df.sort_values("content_hash").reset_index(drop=True)
     df["n_docs"] = df["n_docs"].astype(np.int64)
-    return df
+    return df[["content_hash", "n_docs", "first_doc"]]
 
 
 _STOPLIST_SQL = {
