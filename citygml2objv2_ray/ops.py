@@ -123,18 +123,18 @@ def exact_dedup_first(
     ds: rd.Dataset, key: str, order_col: str | None = None
 ) -> rd.Dataset:
     """One row per key — the first by ``order_col`` (or arbitrary-but-
-    deterministic minimum if given). Hash-partition on the key, per-group
-    head(1) (SURVEY.md D1; reference: order-of-first-appearance interning,
-    CityGML2OBJs.py:68-77). Pre-reduces within each batch first so the
-    shuffle moves at most one row per key per batch."""
+    deterministic minimum if given) (SURVEY.md D1; reference: order-of-
+    first-appearance interning, CityGML2OBJs.py:68-77). Pre-reduces within
+    each batch (the shuffle moves at most one row per key per batch), then
+    merges per coarse super-group — vectorized at any key cardinality
+    (``supergroup_agg``; per-key map_groups pays per-group overhead)."""
 
     def first_in_batch(df: pd.DataFrame) -> pd.DataFrame:
         if order_col:
             df = df.sort_values([key, order_col], kind="stable")
         return df.groupby(key, sort=False).head(1)
 
-    pre = ds.map_batches(first_in_batch, batch_format="pandas")
-    return pre.groupby(key).map_groups(first_in_batch, batch_format="pandas")
+    return supergroup_agg(ds, [key], first_in_batch, first_in_batch)
 
 
 def broadcast_semi_anti_filter(

@@ -314,9 +314,10 @@ def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     """,
 )
 def q_dedup_first_event(sf_dir: str) -> pd.DataFrame:
-    """D1 (first-occurrence interning): hash-partitioned keep-first with
-    per-batch pre-reduction (ops.exact_dedup_first)."""
-    from .ops import exact_dedup_first
+    """D1 (first-occurrence interning): per-batch keep-first pre-reduction
+    then a cardinality-robust super-group merge (``ops.supergroup_agg`` —
+    per-user map_groups pays per-key overhead at 10^6+ users)."""
+    from .ops import supergroup_agg
 
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
@@ -324,8 +325,7 @@ def q_dedup_first_event(sf_dir: str) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
         return df.groupby("user_id", sort=False).head(1)
 
-    pre = ds.map_batches(first_in_batch, batch_format="pandas")
-    ded = pre.groupby("user_id").map_groups(first_in_batch, batch_format="pandas")
+    ded = supergroup_agg(ds, ["user_id"], first_in_batch, first_in_batch)
     df = ded.to_pandas().sort_values("user_id").reset_index(drop=True)
     df["ts_epoch"] = df.ts.values.astype("datetime64[us]").astype(np.int64)
     return df[["user_id", "event_id", "event_type", "ts_epoch"]]

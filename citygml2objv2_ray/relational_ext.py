@@ -152,14 +152,22 @@ def q_sliding_window(sf_dir: str) -> pd.DataFrame:
     "SELECT COUNT(DISTINCT user_id) AS n_users FROM events",
 )
 def q_distinct_users(sf_dir: str) -> pd.DataFrame:
-    """Exact distinct count via per-batch local distinct then global unique
-    (shuffle moves at most one row per key per batch)."""
+    """Exact distinct count: per-batch local distinct (the shuffle moves at
+    most one row per key per batch) → super-group nunique → driver sums
+    ≤64 partial counts. The distinct VALUES never materialize driver-side
+    (``Dataset.unique`` would ship every key to the driver)."""
+    from .ops import supergroup_agg
+
     ds = _read(sf_dir, "events", ["user_id"])
 
-    def local_distinct(batch: pa.Table) -> pa.Table:
-        return batch.group_by(["user_id"]).aggregate([])
+    def local_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["user_id"]].drop_duplicates()
 
-    n = len(ds.map_batches(local_distinct, batch_format="pyarrow").unique("user_id"))
+    def count_group(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [df.user_id.nunique()]})
+
+    counts = supergroup_agg(ds, ["user_id"], local_distinct, count_group)
+    n = int(counts.to_pandas().n.sum())
     return pd.DataFrame([{"n_users": np.int64(n)}])
 
 
