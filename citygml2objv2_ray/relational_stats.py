@@ -67,26 +67,29 @@ def quantile_disc_distributed(
         return [lo] * len(qs)
     hist = _histogram(ds, col, lo, hi, bins)
     cum = np.cumsum(hist)
-    out: list[float] = []
-    for q in qs:
-        rank = int(np.floor((n - 1) * q))  # 0-based target rank
-        b = int(np.searchsorted(cum, rank + 1))
-        # rows of the target bin only (vectorized filter, driver gets ~n/bins)
-        blo = lo + (hi - lo) * b / bins
-        bhi = lo + (hi - lo) * (b + 1) / bins
+    ranks = [int(np.floor((n - 1) * q)) for q in qs]  # 0-based target ranks
+    target_bins = sorted({int(np.searchsorted(cum, r + 1)) for r in ranks})
+    tb = np.asarray(target_bins, dtype=np.int64)
 
-        def in_bin(batch: pa.Table, blo=blo, bhi=bhi, last=(b == bins - 1)) -> pa.Table:
-            v = batch[col]
-            m = pc.and_(pc.greater_equal(v, pa.scalar(blo)), pc.less(v, pa.scalar(bhi)))
-            if last:
-                m = pc.or_(m, pc.greater_equal(v, pa.scalar(bhi)))
-            return batch.filter(m).select([col])
-
-        vals = np.sort(
-            ds.map_batches(in_bin, batch_format="pyarrow").to_pandas()[col].to_numpy()
+    # ONE pass fetches the rows of ALL target bins (driver gets
+    # ~n/bins per quantile, tagged by bin)
+    def in_bins(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[col], dtype=np.float64)
+        idx = np.clip(((v - lo) / (hi - lo) * bins).astype(np.int64), 0, bins - 1)
+        m = np.isin(idx, tb)
+        return pa.table(
+            {col: pa.array(v[m]), "_bin": pa.array(idx[m], pa.int64())}
         )
+
+    fetched = ds.map_batches(in_bins, batch_format="pyarrow").to_pandas()
+    by_bin = {
+        int(b): np.sort(g[col].to_numpy()) for b, g in fetched.groupby("_bin")
+    }
+    out: list[float] = []
+    for r in ranks:
+        b = int(np.searchsorted(cum, r + 1))
         prev = int(cum[b - 1]) if b > 0 else 0
-        out.append(float(vals[rank - prev]))
+        out.append(float(by_bin[b][r - prev]))
     return out
 
 
