@@ -203,7 +203,7 @@ def q_langid(sf_dir: str) -> pd.DataFrame:
     recomputable in DuckDB."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(
-        tx.TextScorer, batch_format="pandas", concurrency=(1, 4), batch_size=512
+        tx.TextScorer(), batch_format="pandas", batch_size=512
     ).to_pandas()
     return out[["doc_id", "lang_pred", "n_tokens", "fingerprint"]].sort_values("doc_id").reset_index(drop=True)
 
@@ -236,8 +236,10 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
         }
     )
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    # task pool (instance, not class): the stage's only state is the tiny
+    # seeded hash family — elastic tasks beat a fixed 4-slot actor pool
     bands = docs.map_batches(
-        dd.MinHashStage, batch_format="pandas", concurrency=(1, 4), batch_size=256
+        dd.MinHashStage(), batch_format="pandas", batch_size=256
     )
 
     def band_key(df: pd.DataFrame) -> pd.DataFrame:
