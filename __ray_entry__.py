@@ -292,6 +292,94 @@ def _q_knn_join(sf_dir: str):
     return out.sort_values(["image_id", "rank"]).reset_index(drop=True)
 
 
+def _multimodal_clips(sf_dir: str):
+    """Deterministic synthetic audio + video clip tables (seeded per clip
+    id — the brief's multimodal columns: opaque binary + typed metadata;
+    no audio/video table exists in testdata)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from citygml2objv2_ray import worlds
+    from citygml2objv2_ray.stages.multimodal import (
+        AUDIO_SCHEMA,
+        VIDEO_SCHEMA,
+        encode_rawpcm,
+        encode_rawvid,
+    )
+
+    sf = worlds.sf_of_dir(sf_dir)
+    n = max(20, int(2000 * sf))
+    arows, vrows = [], []
+    for i in range(n):
+        rng = np.random.default_rng(np.random.SeedSequence([99, int(i)]))
+        samples = (rng.normal(0, 4000, 800 + 100 * (i % 5))).astype(np.int16)
+        arows.append(
+            dict(
+                clip_id=f"clip{i:06d}",
+                bytes=encode_rawpcm(samples, 16000),
+                fmt="rawpcm" if i % 4 else "mp3",  # every 4th is a stub format
+                sample_rate=16000,
+                caption=f"audio clip {i}",
+            )
+        )
+        frames = rng.integers(0, 256, size=(4 + i % 3, 16, 16, 3), dtype=np.uint8)
+        vrows.append(
+            dict(
+                video_id=f"vid{i:06d}",
+                bytes=encode_rawvid(frames),
+                fmt="rawvid" if i % 4 else "mp4",
+                n_frames=frames.shape[0],
+                w=16,
+                h=16,
+                caption=f"video clip {i}",
+            )
+        )
+    return (
+        pa.Table.from_pylist(arows, schema=AUDIO_SCHEMA),
+        pa.Table.from_pylist(vrows, schema=VIDEO_SCHEMA),
+    )
+
+
+def _q_audio_features(sf_dir: str):
+    """Audio decode + loudness features over the synthetic clip table
+    (rows-only: binary container parsing is not SQL-expressible; the fake
+    codec is deterministic so rows are stable)."""
+    import ray.data as rd
+
+    from citygml2objv2_ray.stages.multimodal import AudioFeatures
+
+    audio, _ = _multimodal_clips(sf_dir)
+    out = (
+        rd.from_arrow(audio)
+        .repartition(8)
+        .map_batches(AudioFeatures(), batch_format="pyarrow", batch_size=64)
+        .to_pandas()
+    )
+    out["rms"] = out.rms.round(6)
+    out["duration_s"] = out.duration_s.round(6)
+    return out[["clip_id", "fmt", "decoded_ok", "rms", "duration_s"]].sort_values(
+        "clip_id"
+    ).reset_index(drop=True)
+
+
+def _q_video_frames(sf_dir: str):
+    """Evenly-spaced frame sampling + per-frame features over the synthetic
+    video table (rows-only, deterministic)."""
+    import ray.data as rd
+
+    from citygml2objv2_ray.stages.multimodal import FrameSampler
+
+    _, video = _multimodal_clips(sf_dir)
+    out = (
+        rd.from_arrow(video)
+        .repartition(8)
+        .map_batches(FrameSampler(3), batch_format="pyarrow", batch_size=64)
+        .to_pandas()
+    )
+    out["mean_intensity"] = out.mean_intensity.round(6)
+    return out.sort_values(["video_id", "frame_idx"]).reset_index(drop=True)
+
+
 def _q_range_join(sf_dir: str):
     """Buffered-bbox range join (one-to-many; rows-only, brute-force oracle
     in pytest): every (image, footprint) pair within a 3 m buffered bbox."""
@@ -344,6 +432,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "q_range_join": _q_range_join,
             "q_pip_assign": _q_pip_assign,
             "q_knn_join": _q_knn_join,
+            "q_audio_features": _q_audio_features,
+            "q_video_frames": _q_video_frames,
         }
     )
     return q

@@ -54,16 +54,16 @@ def encode_rawvid(frames: np.ndarray) -> bytes:
     return b"RAWVID" + struct.pack("<iii", n, h, w) + f.tobytes()
 
 
-def _decode_audio(data: bytes, fmt: str) -> tuple[np.ndarray, int]:
-    if fmt == "rawpcm" and data[:6] == b"RAWPCM":
+def _decode_audio(data, fmt: str) -> tuple[np.ndarray, int]:
+    if fmt == "rawpcm" and bytes(data[:6]) == b"RAWPCM":
         (rate,) = struct.unpack("<i", data[6:10])
         return np.frombuffer(data[10:], dtype=np.int16), rate
     # STUB: real codecs (mp3/flac/wav via soundfile/ffmpeg) not available
     raise NotImplementedError(f"audio codec {fmt!r} requires soundfile/ffmpeg (not in container)")
 
 
-def _decode_video_frame(data: bytes, fmt: str, frame_idx: int) -> np.ndarray:
-    if fmt == "rawvid" and data[:6] == b"RAWVID":
+def _decode_video_frame(data, fmt: str, frame_idx: int) -> np.ndarray:
+    if fmt == "rawvid" and bytes(data[:6]) == b"RAWVID":
         n, h, w = struct.unpack("<iii", data[6:18])
         if not 0 <= frame_idx < n:
             raise IndexError(f"frame {frame_idx} of {n}")
@@ -80,10 +80,12 @@ class AudioFeatures:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        from ..arrow_utils import binary_views
+
         rms = np.full(n, np.nan)
         dur = np.full(n, np.nan)
         ok = np.zeros(n, dtype=bool)
-        blobs = batch["bytes"].to_pylist()
+        blobs = binary_views(batch["bytes"])
         fmts = batch["fmt"].to_pylist()
         for i in range(n):
             try:
@@ -111,8 +113,10 @@ class FrameSampler:
         self.n_sample = n_sample
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..arrow_utils import binary_views
+
         vids, frames, means = [], [], []
-        blobs = batch["bytes"].to_pylist()
+        blobs = binary_views(batch["bytes"])
         fmts = batch["fmt"].to_pylist()
         ids = batch["video_id"].to_pylist()
         nf = np.asarray(batch["n_frames"])
