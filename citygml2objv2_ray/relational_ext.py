@@ -74,27 +74,46 @@ def q_term_counts_salted(sf_dir: str) -> pd.DataFrame:
 )
 def q_sessionize(sf_dir: str) -> pd.DataFrame:
     """Session windows (30-min inactivity gap) — the streaming-shaped op
-    over the ordered events log (SURVEY.md §2.F: no watermarks in the
-    reference or Ray Data; sessions = per-key sorted gap-split inside
-    ``map_groups``)."""
+    over the ordered events log (SURVEY.md §2.F). Shuffled on a coarse
+    super-group of the user (all of a user's events co-locate); inside
+    each group the sessionization is fully VECTORIZED across every user at
+    once (sort by (user, ts, event_id), session breaks = user change OR
+    gap, per-user ids via a running-start cumsum) — no per-user Python at
+    any user cardinality."""
+    from .ops import supergroup_agg
+
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
     GAP = 1_800_000_000  # 30 min in µs
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        e = g.ts.values.astype("datetime64[us]").astype(np.int64)
-        g = g.assign(e=e).sort_values(["e", "event_id"], kind="stable")
-        new_s = np.concatenate([[1], (np.diff(g.e.to_numpy()) > GAP).astype(np.int64)])
-        sid = np.cumsum(new_s)
+    def to_epoch(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(e=df.ts.values.astype("datetime64[us]").astype(np.int64))[
+            ["user_id", "event_id", "e"]
+        ]
+
+    def sessions_vectorized(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "e", "event_id"], kind="stable").reset_index(drop=True)
+        u = g.user_id.to_numpy()
+        e = g.e.to_numpy()
+        new_user = np.concatenate([[True], u[1:] != u[:-1]])
+        new_s = new_user | np.concatenate([[True], np.diff(e) > GAP])
+        sid_global = np.cumsum(new_s)
+        user_start = np.where(new_user, sid_global, 0)
+        sid = sid_global - np.maximum.accumulate(user_start) + 1
         g = g.assign(session_id=sid)
-        out = g.groupby("session_id", as_index=False).agg(
-            user_id=("user_id", "first"),
-            n_events=("e", "size"),
-            session_start=("e", "min"),
-            session_end=("e", "max"),
+        out = g.groupby(["user_id", "session_id"], as_index=False).agg(
+            n_events=("e", "size"), session_start=("e", "min"), session_end=("e", "max")
         )
         return out[["user_id", "session_id", "n_events", "session_start", "session_end"]]
 
-    res = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    # partial = identity-ish epoch projection (sessions need the user's
+    # FULL history together, so the reduction happens only after the
+    # super-group shuffle)
+    res = supergroup_agg(
+        ds.map_batches(to_epoch, batch_format="pandas"),
+        ["user_id"],
+        lambda df: df,
+        sessions_vectorized,
+    )
     df = res.to_pandas().sort_values(["user_id", "session_id"]).reset_index(drop=True)
     for c in ("session_id", "n_events", "session_start", "session_end"):
         df[c] = df[c].astype(np.int64)
