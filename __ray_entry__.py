@@ -625,7 +625,16 @@ def oracle_sql() -> dict[str, str]:
             from citygml2objv2_ray import worlds
 
             worlds.world_paths(0.01)
-    except Exception:
-        pass
+    except Exception as exc:  # pragma: no cover - environment-dependent
+        # Don't hide the root cause: if world materialization failed, the
+        # DuckDB gate will later hit a confusing missing-parquet error —
+        # surface the original failure next to it.
+        import warnings
+
+        warnings.warn(
+            f"world pre-materialization for the SQL oracle failed: {exc!r}; "
+            "world-table oracle queries will fail on missing parquet",
+            stacklevel=2,
+        )
     out.update(world_oracle_sql(0.01))
     return out

@@ -72,6 +72,11 @@ def run(args) -> dict:
             + glob.glob(os.path.join(args.directory, "*.xml"))
         )
         surfaces = read_citygml(paths)
+        if surfaces.count() == 0:
+            raise ValueError(
+                f"no parseable CityGML surfaces found under {args.directory!r}; "
+                "nothing to translate for -tC/-tCw"
+            )
         delta = translation_params(surfaces)
         translated = translate_exact(surfaces, delta)
         outputs["translation_params"] = delta.tolist()
@@ -83,6 +88,11 @@ def run(args) -> dict:
                 for t in _ray.get(translated.to_arrow_refs())
                 if t.num_rows and t.num_columns
             ]
+            if not tabs:
+                raise ValueError(
+                    f"no parseable CityGML surfaces found under {args.directory!r}; "
+                    "nothing to translate for -tCw"
+                )
             # per-block list field names can drift (item vs element); cast
             # every block to the first block's schema before concat
             tab = pa.concat_tables([t.cast(tabs[0].schema) for t in tabs])
@@ -141,6 +151,14 @@ def run(args) -> dict:
 
 def main(argv=None) -> None:
     import ray
+
+    # Ray workers inherit PYTHONPATH, not the driver's sys.path — without
+    # this, a standalone `python -m citygml2objv2_ray.cli` run (package not
+    # pip-installed) fails when workers deserialize map_batches UDFs.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.environ["PYTHONPATH"] = (
+        pkg_root + os.pathsep + os.environ.get("PYTHONPATH", "")
+    )
 
     args = build_parser().parse_args(argv)
     if not ray.is_initialized():

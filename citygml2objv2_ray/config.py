@@ -65,6 +65,14 @@ class EngineConfig:
     salt_buckets: int = 8                # sub-buckets for hot cells
     hot_cell_threshold: int = 4096       # rows per cell above which salting kicks in
 
+    # super-group shuffles (ops.supergroup_agg / dedup.supergroup_of):
+    # num_groups = clamp(n_rows // target, min, max) — 64 reduce tasks is
+    # right for this sandbox but caps shuffle parallelism and lets
+    # per-group memory grow linearly with corpus size at 100 TB
+    supergroup_target_rows: int = 1_000_000
+    supergroup_min: int = 64
+    supergroup_max: int = 4096
+
     # batching — join batch also sets downstream BLOCK granularity: the
     # decode pool's parallelism is bounded by upstream block count (tuned
     # via ds.stats(): 8192 starved the decode pool to 13 tasks)

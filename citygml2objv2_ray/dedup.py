@@ -246,8 +246,22 @@ def supergroup_of(keys: np.ndarray, num_groups: int = 64) -> np.ndarray:
     scheduling overhead is paid ~num_groups times instead of once per
     bucket (measured 10-40x on 10^5-bucket band tables — Ray's per-group
     map_groups and its groupby aggregate are both per-bucket-cost-bound,
-    and the native join was slower still)."""
+    and the native join was slower still). Pass
+    ``ops.derive_num_groups(input_rows)`` so fan-out scales with the
+    corpus instead of pinning 64 reduce tasks at 100 TB."""
     return (splitmix64(keys.astype(np.uint64)) % np.uint64(num_groups)).astype(np.int64)
+
+
+def mix_band_key(band_hash: np.ndarray, band: np.ndarray) -> np.ndarray:
+    """Fold (band index, 63-bit band hash) into one positive int64 bucket
+    key WITHOUT truncation: splitmix64 of the xor with a band-salted odd
+    constant. Distinct (band, band_hash) buckets collide with probability
+    ~2^-63 (the round-2 ``(band_hash << 5) | band`` dropped the hash's top
+    bits, so distinct buckets could alias deterministically)."""
+    bh = np.asarray(band_hash).astype(np.uint64)
+    bd = np.asarray(band).astype(np.uint64)
+    mixed = splitmix64(bh ^ (bd * np.uint64(0x9E3779B97F4A7C15)))
+    return (mixed & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 
 
 def dedup_pairs(pairs, a_col: str, b_col: str, num_groups: int = 64):

@@ -86,12 +86,40 @@ def salted_groupby(
     return sub.groupby(key).map_groups(merge, batch_format=batch_format)
 
 
+def parquet_num_rows(path: str) -> int | None:
+    """Row count of a parquet file/dir from footer metadata only — free at
+    any scale (no data read, no Dataset execution)."""
+    try:
+        import pyarrow.dataset as pads
+
+        return pads.dataset(path, format="parquet").count_rows()
+    except Exception:
+        return None
+
+
+def derive_num_groups(n_rows: int | None, cfg=None) -> int:
+    """Super-group fan-out from the input row count: one reduce task per
+    ~``supergroup_target_rows`` rows, clamped to [min, max]. At test scale
+    this is the measured-optimal 64; at 100 TB it grows so per-group memory
+    stays bounded and shuffle parallelism isn't capped at 64 tasks.
+    ``n_rows=None`` (unknown) falls back to the minimum."""
+    from .config import DEFAULT_CONFIG
+
+    cfg = cfg or DEFAULT_CONFIG
+    if not n_rows:
+        return cfg.supergroup_min
+    return int(
+        min(cfg.supergroup_max, max(cfg.supergroup_min, n_rows // cfg.supergroup_target_rows))
+    )
+
+
 def supergroup_agg(
     ds: rd.Dataset,
     keys: list[str],
     partial,
     merge,
-    num_groups: int = 64,
+    num_groups: int | None = None,
+    num_rows_hint: int | None = None,
 ) -> rd.Dataset:
     """Group-by aggregation that stays vectorized at ANY key cardinality.
 
@@ -104,7 +132,11 @@ def supergroup_agg(
 
     ``partial(df) -> df``: within-batch pre-aggregation (must keep
     ``keys``); ``merge(df) -> df``: combine partials of a super-group
-    (associative)."""
+    (associative). ``num_groups=None`` derives the fan-out from
+    ``num_rows_hint`` (pass the input table's parquet-metadata row count —
+    free, no execution pass) via ``derive_num_groups``."""
+    if num_groups is None:
+        num_groups = derive_num_groups(num_rows_hint)
 
     def pre(df: pd.DataFrame) -> pd.DataFrame:
         out = partial(df)
@@ -120,7 +152,10 @@ def supergroup_agg(
 
 
 def exact_dedup_first(
-    ds: rd.Dataset, key: str, order_col: str | None = None
+    ds: rd.Dataset,
+    key: str,
+    order_col: str | None = None,
+    num_rows_hint: int | None = None,
 ) -> rd.Dataset:
     """One row per key — the first by ``order_col`` (or arbitrary-but-
     deterministic minimum if given) (SURVEY.md D1; reference: order-of-
@@ -134,7 +169,9 @@ def exact_dedup_first(
             df = df.sort_values([key, order_col], kind="stable")
         return df.groupby(key, sort=False).head(1)
 
-    return supergroup_agg(ds, [key], first_in_batch, first_in_batch)
+    return supergroup_agg(
+        ds, [key], first_in_batch, first_in_batch, num_rows_hint=num_rows_hint
+    )
 
 
 def broadcast_semi_anti_filter(

@@ -52,6 +52,15 @@ def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Datase
     return rd.read_parquet(_t(sf_dir, name), columns=columns)
 
 
+def _nrows(sf_dir: str, name: str) -> int | None:
+    """Input table row count from parquet footer metadata — free (no data
+    read, no Dataset execution). Used to derive super-group shuffle
+    fan-out (``ops.derive_num_groups``)."""
+    from .ops import parquet_num_rows
+
+    return parquet_num_rows(_t(sf_dir, name))
+
+
 def _round_cols(df: pd.DataFrame, cols: list[str], nd: int = 4) -> pd.DataFrame:
     for c in cols:
         df[c] = df[c].astype(float).round(nd)
@@ -325,7 +334,13 @@ def q_dedup_first_event(sf_dir: str) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
         return df.groupby("user_id", sort=False).head(1)
 
-    ded = supergroup_agg(ds, ["user_id"], first_in_batch, first_in_batch)
+    ded = supergroup_agg(
+        ds,
+        ["user_id"],
+        first_in_batch,
+        first_in_batch,
+        num_rows_hint=_nrows(sf_dir, "events"),
+    )
     df = ded.to_pandas().sort_values("user_id").reset_index(drop=True)
     df["ts_epoch"] = df.ts.values.astype("datetime64[us]").astype(np.int64)
     return df[["user_id", "event_id", "event_type", "ts_epoch"]]

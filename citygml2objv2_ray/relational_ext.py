@@ -13,7 +13,7 @@ from ray.data.aggregate import Sum
 
 from . import dedup as dd
 from .ops import salted_groupby
-from .relational import _read, query
+from .relational import _nrows, _read, query
 
 
 @query(
@@ -113,6 +113,7 @@ def q_sessionize(sf_dir: str) -> pd.DataFrame:
         ["user_id"],
         lambda df: df,
         sessions_vectorized,
+        num_rows_hint=_nrows(sf_dir, "events"),
     )
     df = res.to_pandas().sort_values(["user_id", "session_id"]).reset_index(drop=True)
     for c in ("session_id", "n_events", "session_start", "session_end"):
@@ -185,7 +186,9 @@ def q_distinct_users(sf_dir: str) -> pd.DataFrame:
     def count_group(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"n": [df.user_id.nunique()]})
 
-    counts = supergroup_agg(ds, ["user_id"], local_distinct, count_group)
+    counts = supergroup_agg(
+        ds, ["user_id"], local_distinct, count_group, num_rows_hint=_nrows(sf_dir, "events")
+    )
     n = int(counts.to_pandas().n.sum())
     return pd.DataFrame([{"n_users": np.int64(n)}])
 
@@ -250,8 +253,13 @@ def q_phash_neardup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     from .codecs import hamming64
     from .worlds import load_world, sf_of_dir
 
+    from .ops import derive_num_groups, parquet_num_rows
+
     images_path, _, _ = load_world(sf_of_dir(sf_dir))
     ds = rd.read_parquet(images_path, columns=["image_id", "phash"])
+    # x4 band explode rows; fan-out derived from the input, not pinned at 64
+    nimg = parquet_num_rows(images_path)
+    ng = derive_num_groups(nimg * 4 if nimg else None)
 
     def bands(df: pd.DataFrame) -> pd.DataFrame:
         ph = df.phash.to_numpy().astype(np.int64)
@@ -265,7 +273,7 @@ def q_phash_neardup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
             {
                 "image_id": np.tile(df.image_id.to_numpy(), 4),
                 "bkey": bkey,
-                "_sg": dd.supergroup_of(bkey),
+                "_sg": dd.supergroup_of(bkey, ng),
                 "phash": np.tile(ph, 4),
             }
         )

@@ -15,7 +15,7 @@ from ray.data.aggregate import Sum
 
 from . import dedup as dd
 from . import text as tx
-from .relational import ORACLE, REGISTRY, _read, _t, query
+from .relational import ORACLE, REGISTRY, _nrows, _read, _t, query
 
 # ---------------------------------------------------------------------------
 # text analysis (SQL-checkable pieces)
@@ -132,7 +132,9 @@ def q_exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
         g = g.reset_index()
         return g[g.n_docs > 1]
 
-    df = supergroup_agg(ds, ["content_hash"], partial, merge).to_pandas()
+    df = supergroup_agg(
+        ds, ["content_hash"], partial, merge, num_rows_hint=_nrows(sf_dir, "documents")
+    ).to_pandas()
     if not len(df):
         return pd.DataFrame(
             {
@@ -212,7 +214,8 @@ def q_langid(sf_dir: str) -> pd.DataFrame:
 # tests/test_neardup_parity.py)
 @query("q_minhash_neardup")
 def q_minhash_neardup(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
-    """MinHash+LSH near-dup, fully distributed:
+    """MinHash+LSH near-dup, fully distributed (nothing corpus- or
+    candidate-scale ever reaches the driver):
 
     1. shingle→minhash→band keys (vectorized ``MinHashStage``, exploded
        one row per (doc, band));
@@ -221,12 +224,18 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
        ``q_phash_neardup`` — per-bucket map_groups and the native join
        were measured 10-40x slower), per-group pair dedup;
     3. global pair-dedup on the candidate-pair-scale stream;
-    4. Jaccard verify inside ``map_batches`` over the pair stream against a
-       **broadcast of only the candidate docs' texts** (the candidate set
-       is pair-bounded — the full documents table never reaches the
-       driver).
+    4. verify via TWO super-group shuffles, no driver broadcast: each pair
+       is exploded into two (doc-keyed) halves and unioned with the
+       (doc_id, text) stream; grouping on the doc key attaches each half
+       its text (a distributed semi-join — the docs table crosses this
+       shuffle exactly once and only pair-halves survive it); a second
+       shuffle on the PAIR key reunites the halves and computes true
+       shingle-Jaccard in-group with a per-group shingle cache.
+
+    Super-group fan-out is derived from the documents row count
+    (``ops.derive_num_groups``), not pinned at 64.
     """
-    import ray
+    from .ops import derive_num_groups
 
     EMPTY = pd.DataFrame(
         {
@@ -236,6 +245,7 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
         }
     )
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    ng = derive_num_groups(_nrows(sf_dir, "documents"))
     # task pool (instance, not class): the stage's only state is the tiny
     # seeded hash family — elastic tasks beat a fixed 4-slot actor pool
     bands = docs.map_batches(
@@ -243,11 +253,9 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
     )
 
     def band_key(df: pd.DataFrame) -> pd.DataFrame:
-        # fold (band, band_hash) into one int64 bucket key (injective mod
-        # 2^64: band < 32 occupies the low 5 bits)
-        bkey = (df.band_hash.to_numpy() << 5) | df.band.to_numpy()
+        bkey = dd.mix_band_key(df.band_hash.to_numpy(), df.band.to_numpy())
         return pd.DataFrame(
-            {"doc_id": df.doc_id, "bkey": bkey, "_sg": dd.supergroup_of(bkey)}
+            {"doc_id": df.doc_id, "bkey": bkey, "_sg": dd.supergroup_of(bkey, ng)}
         )
 
     def pairs_in_supergroup(g: pd.DataFrame) -> pd.DataFrame:
@@ -261,44 +269,113 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
 
     keyed = bands.map_batches(band_key, batch_format="pandas")
     pairs = keyed.groupby("_sg").map_groups(pairs_in_supergroup, batch_format="pandas")
-    pairs = dd.dedup_pairs(pairs, "doc_a", "doc_b").materialize()
+    pairs = dd.dedup_pairs(pairs, "doc_a", "doc_b", num_groups=ng).materialize()
     if not pairs.count():
         return EMPTY
-    # candidate ids (pair-scale, small by construction)
-    cand_ids = set(
-        pairs.map_batches(
-            lambda df: pd.DataFrame({"doc_id": np.concatenate([df.doc_a.to_numpy(), df.doc_b.to_numpy()])}),
-            batch_format="pandas",
-        ).unique("doc_id")
-    )
-    ids_ref = ray.put(cand_ids)
-    cand_texts = (
-        docs.map_batches(
-            lambda df: df[df.doc_id.isin(ray.get(ids_ref) if isinstance(ids_ref, ray.ObjectRef) else ids_ref)],
-            batch_format="pandas",
-        )
-        .to_pandas()  # bounded by #candidates, not corpus size
-    )
-    texts_ref = ray.put(dict(zip(cand_texts.doc_id, cand_texts.text.fillna(""))))
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        lut = ray.get(texts_ref) if isinstance(texts_ref, ray.ObjectRef) else texts_ref
+    # -- distributed verify: semi-join texts onto pair-halves, then reunite
+    KIND_DOC, KIND_PAIR = np.int8(0), np.int8(1)
+
+    def pair_halves(df: pd.DataFrame) -> pd.DataFrame:
+        a = df.doc_a.to_numpy().astype(np.int64)
+        b = df.doc_b.to_numpy().astype(np.int64)
+        key = np.concatenate([a, b])
+        n = len(a)
+        return pd.DataFrame(
+            {
+                "key": key,
+                "doc_a": np.concatenate([a, a]),
+                "doc_b": np.concatenate([b, b]),
+                "side": np.concatenate(
+                    [np.zeros(n, np.int8), np.ones(n, np.int8)]
+                ),
+                "kind": np.full(2 * n, KIND_PAIR, np.int8),
+                "text": np.full(2 * n, "", dtype=object),
+                "_sg": dd.supergroup_of(key, ng),
+            }
+        )
+
+    def doc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df.doc_id.to_numpy().astype(np.int64)
+        n = len(ids)
+        return pd.DataFrame(
+            {
+                "key": ids,
+                "doc_a": np.zeros(n, np.int64),
+                "doc_b": np.zeros(n, np.int64),
+                "side": np.full(n, -1, np.int8),
+                "kind": np.full(n, KIND_DOC, np.int8),
+                "text": df.text.fillna("").astype(object).to_numpy(),
+                "_sg": dd.supergroup_of(ids, ng),
+            }
+        )
+
+    HALF_EMPTY = pd.DataFrame(
+        {
+            "doc_a": pd.array([], dtype=np.int64),
+            "doc_b": pd.array([], dtype=np.int64),
+            "side": pd.array([], dtype=np.int8),
+            "text": pd.array([], dtype=object),
+        }
+    )
+
+    def attach_text(g: pd.DataFrame) -> pd.DataFrame:
+        ph = g[g.kind == KIND_PAIR]
+        if not len(ph):
+            return HALF_EMPTY
+        d = g[g.kind == KIND_DOC]
+        lut = pd.Series(d.text.to_numpy(), index=d.key.to_numpy())
+        texts = ph.key.map(lut).fillna("")
+        return pd.DataFrame(
+            {
+                "doc_a": ph.doc_a.to_numpy(),
+                "doc_b": ph.doc_b.to_numpy(),
+                "side": ph.side.to_numpy(),
+                "text": texts.to_numpy(),
+            }
+        )
+
+    halves = pairs.map_batches(pair_halves, batch_format="pandas").union(
+        docs.map_batches(doc_rows, batch_format="pandas")
+    )
+    halves_txt = halves.groupby("_sg").map_groups(attach_text, batch_format="pandas")
+
+    def pair_group_key(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[["doc_a", "doc_b"]], index=False).to_numpy()
+        return df.assign(_pg=(h.astype(np.uint64) % np.uint64(ng)).astype(np.int64))
+
+    def verify_group(g: pd.DataFrame) -> pd.DataFrame:
+        # both halves of a pair land here; sort reunites them (side 0, 1)
+        g = g.sort_values(["doc_a", "doc_b", "side"], kind="stable")
+        a = g.doc_a.to_numpy()[0::2]
+        b = g.doc_b.to_numpy()[0::2]
+        ta = g.text.to_numpy()[0::2]
+        tb = g.text.to_numpy()[1::2]
         cache: dict = {}
 
-        def sh(doc):
+        def sh(doc, text):
             s = cache.get(doc)
             if s is None:
-                s = cache[doc] = dd.char_shingles(lut.get(doc, ""))
+                s = cache[doc] = dd.char_shingles(text)
             return s
 
         jac = np.round(
-            np.array([dd.jaccard_u64(sh(a), sh(b)) for a, b in zip(df.doc_a, df.doc_b)]),
+            np.array(
+                [dd.jaccard_u64(sh(x, tx), sh(y, ty)) for x, y, tx, ty in zip(a, b, ta, tb)]
+            ),
             6,
         )
-        out = df.assign(jaccard=jac)
-        return out[out.jaccard >= threshold][["doc_a", "doc_b", "jaccard"]]
+        out = pd.DataFrame(
+            {"doc_a": a.astype(np.int64), "doc_b": b.astype(np.int64), "jaccard": jac}
+        )
+        return out[out.jaccard >= threshold]
 
-    res = pairs.map_batches(verify, batch_format="pandas").to_pandas()
+    res = (
+        halves_txt.map_batches(pair_group_key, batch_format="pandas")
+        .groupby("_pg")
+        .map_groups(verify_group, batch_format="pandas")
+        .to_pandas()
+    )
     if not len(res):
         return EMPTY
     res["doc_a"] = res.doc_a.astype(np.int64)

@@ -66,3 +66,42 @@ class TestCLI:
         idx = pd.read_parquet(out["sidecar"])
         assert {"building_id", "component_seq", "tx"} <= set(idx.columns)
         assert (idx.groupby("building_id").size() > 0).all()
+
+    def test_tcw_empty_input_is_descriptive(self, tmp_path):
+        """-tCw over a dir with no parseable surfaces must raise a clear
+        error, not IndexError (ADVICE r2)."""
+        empty = tmp_path / "empty_in"
+        empty.mkdir()
+        (empty / "junk.gml").write_bytes(b"<notcity/>")
+        with pytest.raises(ValueError, match="no parseable CityGML surfaces"):
+            _run(["-i", str(empty), "-o", str(tmp_path / "out"), "-tCw", "1"])
+
+
+class TestCLISubprocess:
+    def test_standalone_module_run_clean_env(self, gml_dir, tmp_path):
+        """`python -m citygml2objv2_ray.cli` with a CLEAN env (no inherited
+        PYTHONPATH) must succeed: main() owns its Ray session and must set
+        PYTHONPATH itself so workers can deserialize the package's
+        map_batches UDFs (ADVICE r2: workers don't inherit driver
+        sys.path)."""
+        import os
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = {
+            k: v
+            for k, v in os.environ.items()
+            if k not in ("PYTHONPATH",)
+        }
+        proc = subprocess.run(
+            [sys.executable, "-m", "citygml2objv2_ray.cli",
+             "-i", str(gml_dir), "-o", str(tmp_path)],
+            cwd=repo,
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert (tmp_path / "colormap.mtl").exists()
