@@ -115,6 +115,7 @@ def run_bench() -> dict:
         "q_quantiles_exact",
         "q_topk_per_group",
         "q_stream_window_hourly",
+        "q_simhash",
     ]:
         fn = relational.REGISTRY[name]
         t0 = time.perf_counter()

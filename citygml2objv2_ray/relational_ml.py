@@ -414,7 +414,7 @@ def q_simhash(sf_dir: str) -> pd.DataFrame:
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            {"doc_id": df.doc_id, "simhash": [dd.simhash64(t) for t in df.text.fillna("")]}
+            {"doc_id": df.doc_id, "simhash": dd.simhash64_batch(df.text.fillna(""))}
         )
 
     return ds.map_batches(fn, batch_format="pandas").to_pandas().sort_values("doc_id").reset_index(drop=True)

@@ -121,6 +121,35 @@ class TestMinhashKernels:
         assert not (ka == kc).any()
 
 
+class TestSimhashBatch:
+    def test_batch_equals_per_doc(self):
+        """Property: the vectorized batch SimHash (batch-unique md5 +
+        pair-dedup reduceat) equals the per-doc reference on arbitrary
+        token streams including empties and unicode."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from citygml2objv2_ray import dedup as dd
+
+        fixed = ["", "  ", "the the the", "a b c", "Ünïcode tökens ünïcode", "x"]
+        assert np.array_equal(
+            dd.simhash64_batch(fixed),
+            np.array([dd.simhash64(t) for t in fixed], dtype=np.int64),
+        )
+
+        word = st.text(alphabet="abcdefg", min_size=1, max_size=4)
+        doc = st.lists(word, max_size=30).map(" ".join)
+
+        @settings(max_examples=50, deadline=None)
+        @given(st.lists(doc, max_size=20))
+        def check(texts):
+            got = dd.simhash64_batch(texts)
+            want = np.array([dd.simhash64(t) for t in texts], dtype=np.int64)
+            assert np.array_equal(got, want)
+
+        check()
+
+
 class TestPairGenCore:
     def test_bucket_pair_indices_matches_bruteforce(self):
         """Property: the run-length pair generator equals the O(n^2) brute
