@@ -71,11 +71,46 @@ def _stable_assignment_frame(df):
 
 
 def _q_flagship_assignments(sf_dir: str):
-    return _stable_assignment_frame(_flagship_result(sf_dir).assignments().to_pandas())
+    """Flagship per-image assignments, SQL-checked end-to-end: cell encode,
+    PIP building (bbox-containment MIN), the ring-bounded kNN with the
+    engine's exact gather/stop/fallback semantics (``spatial.knn``), and
+    caption passthrough. Distances ride as integer millionths
+    (float→decimal string conversion differs between Python and DuckDB at
+    the last digit; integers hash stably). The pixel-derived columns
+    (pixel_ok, roof_coverage) stay in ``entry()``/pytest — they are not
+    SQL-expressible."""
+    import numpy as np
+
+    df = _flagship_result(sf_dir).assignments().to_pandas()
+    df = df.sort_values("image_id").reset_index(drop=True)
+    out = df[["image_id", "cell", "building_id", "caption"]].copy()
+    out["cell"] = out.cell.astype(np.int64)
+    out["nn_ids"] = df.nn_ids.map(lambda v: ",".join(list(v)))
+    out["nn_dist_e6"] = df.nn_dist.map(
+        lambda v: ",".join(str(int(np.rint(x * 1000000))) for x in v)
+    )
+    return out[["image_id", "cell", "building_id", "nn_ids", "nn_dist_e6", "caption"]]
 
 
 def _q_tile_stats(sf_dir: str):
-    return _flagship_result(sf_dir).tile_stats
+    """Per-cell tile statistics from the flagship writer acks, SQL-checked:
+    every column is an exact INTEGER (match count, covered-pixel count,
+    tile-pixel count, row count) so the hash is stable across summation
+    orders — the DuckDB twin (``world_oracle_sql``) recomputes coverage
+    from the synthetic world's truth geometry (valid Roof/Ground rings
+    project to axis-aligned rects; covered pixels are counted with the
+    engine's exact pixel-center arithmetic; f64 borderline re-test in the
+    rasterizer makes the engine side exact too)."""
+    import numpy as np
+
+    df = _flagship_result(sf_dir).tile_stats.to_pandas()
+    out = df[["cell", "sum_matched", "cov_px", "tile_px", "n"]].copy()
+    out["cell"] = out.cell.astype(np.int64)
+    out["sum_matched"] = np.rint(out.sum_matched.to_numpy()).astype(np.int64)
+    out["cov_px"] = out.cov_px.astype(np.int64)
+    out["tile_px"] = out.tile_px.astype(np.int64)
+    out["n"] = out.n.astype(np.int64)
+    return out.sort_values("cell").reset_index(drop=True)
 
 
 def _q_triangulate(sf_dir: str):
@@ -599,6 +634,206 @@ def world_oracle_sql(sf: float) -> dict[str, str]:
             SELECT semantic, CAST(SUM(poly_tris) AS BIGINT) AS n_tri,
                    ROUND(SUM(truth_area), 4) AS total_area
             FROM p GROUP BY semantic ORDER BY semantic
+        """,
+        # Flagship assignments end-to-end: PIP building + the engine's
+        # ring-bounded kNN reproduced exactly (spatial._gather_candidates /
+        # spatial.knn): candidates are footprints whose bbox cells lie
+        # within the per-cell gather radius R = min(max_ring,
+        # ceil((r0+1)*1.415)) (r0 = first ring with >= k candidates); the
+        # per-CELL exactness check falls back to a global ranking when any
+        # image's kth candidate is farther than R*cell_size.
+        "q_flagship_assignments": f"""
+            WITH ic AS (
+                SELECT image_id, cx, cy, caption,
+                       CAST(floor(cx / 64.0) AS BIGINT) AS qix,
+                       CAST(floor(cy / 64.0) AS BIGINT) AS qiy,
+                       CAST(floor(cx / 64.0) AS BIGINT) * 4294967296
+                       + (CAST(floor(cy / 64.0) AS BIGINT) & 4294967295) AS cell
+                FROM read_parquet('{images}')
+            ),
+            fc AS (
+                SELECT building_id, xmin, ymin, xmax, ymax,
+                       (xmin + xmax) / 2 AS fx, (ymin + ymax) / 2 AS fy,
+                       CAST(floor(xmin / 64.0) AS BIGINT) AS fix0,
+                       CAST(floor(xmax / 64.0) AS BIGINT) AS fix1,
+                       CAST(floor(ymin / 64.0) AS BIGINT) AS fiy0,
+                       CAST(floor(ymax / 64.0) AS BIGINT) AS fiy1
+                FROM read_parquet('{footprints}')
+            ),
+            pip AS (
+                SELECT i.image_id, MIN(f.building_id) AS building_id
+                FROM ic i JOIN fc f
+                  ON i.cx >= f.xmin AND i.cx <= f.xmax
+                 AND i.cy >= f.ymin AND i.cy <= f.ymax
+                GROUP BY i.image_id
+            ),
+            cells AS (SELECT DISTINCT cell, qix, qiy FROM ic),
+            cellring AS (
+                SELECT c.cell, f.building_id, f.fx, f.fy,
+                       GREATEST(
+                         CASE WHEN f.fix0 > c.qix THEN f.fix0 - c.qix
+                              WHEN c.qix > f.fix1 THEN c.qix - f.fix1 ELSE 0 END,
+                         CASE WHEN f.fiy0 > c.qiy THEN f.fiy0 - c.qiy
+                              WHEN c.qiy > f.fiy1 THEN c.qiy - f.fiy1 ELSE 0 END
+                       ) AS ring
+                FROM cells c CROSS JOIN fc f
+            ),
+            r0 AS (
+                SELECT cell, MIN(ring) AS r0 FROM (
+                    SELECT cell, ring,
+                           SUM(COUNT(*)) OVER (PARTITION BY cell ORDER BY ring) AS cum
+                    FROM cellring WHERE ring <= 4 GROUP BY cell, ring
+                ) WHERE cum >= 3 GROUP BY cell
+            ),
+            rstop AS (
+                SELECT c.cell,
+                       CASE WHEN r.r0 IS NULL THEN 4
+                            ELSE LEAST(4, CAST(ceil((r.r0 + 1) * 1.415) AS BIGINT))
+                       END AS R
+                FROM cells c LEFT JOIN r0 r USING (cell)
+            ),
+            cand AS (
+                SELECT cr.cell, cr.building_id, cr.fx, cr.fy
+                FROM cellring cr JOIN rstop s USING (cell) WHERE cr.ring <= s.R
+            ),
+            ncand AS (SELECT cell, COUNT(*) AS nc FROM cand GROUP BY cell),
+            imgkth AS (
+                SELECT image_id, cell, MAX(dist) AS kth FROM (
+                    SELECT i.image_id, i.cell,
+                           sqrt(power(i.cx - c.fx, 2) + power(i.cy - c.fy, 2)) AS dist,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY i.image_id
+                               ORDER BY sqrt(power(i.cx - c.fx, 2) + power(i.cy - c.fy, 2)),
+                                        c.building_id) AS rn
+                    FROM ic i JOIN cand c USING (cell)
+                ) WHERE rn <= 3 GROUP BY image_id, cell
+            ),
+            fallback AS (
+                SELECT n.cell,
+                       (n.nc > 3 AND EXISTS (
+                           SELECT 1 FROM imgkth k JOIN rstop s ON s.cell = n.cell
+                           WHERE k.cell = n.cell AND k.kth > s.R * 64.0)) AS fb
+                FROM ncand n
+            ),
+            pool AS (
+                SELECT i.image_id, i.cx, i.cy, f.building_id, f.fx, f.fy
+                FROM ic i JOIN fallback fb ON fb.cell = i.cell AND fb.fb
+                CROSS JOIN fc f
+                UNION ALL
+                SELECT i.image_id, i.cx, i.cy, c.building_id, c.fx, c.fy
+                FROM ic i LEFT JOIN fallback fb ON fb.cell = i.cell
+                JOIN cand c ON c.cell = i.cell
+                WHERE fb.fb IS NULL OR NOT fb.fb
+            ),
+            ranked AS (
+                SELECT image_id, building_id,
+                       sqrt(power(cx - fx, 2) + power(cy - fy, 2)) AS dist,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY image_id
+                           ORDER BY sqrt(power(cx - fx, 2) + power(cy - fy, 2)),
+                                    building_id) AS rn
+                FROM pool
+            ),
+            knn AS (
+                SELECT image_id,
+                       string_agg(building_id, ',' ORDER BY rn) AS nn_ids,
+                       string_agg(CAST(CAST(round(dist * 1000000, 0) AS BIGINT) AS VARCHAR),
+                                  ',' ORDER BY rn) AS nn_dist_e6
+                FROM ranked WHERE rn <= 3 GROUP BY image_id
+            )
+            SELECT i.image_id, i.cell, p.building_id,
+                   coalesce(k.nn_ids, '') AS nn_ids,
+                   coalesce(k.nn_dist_e6, '') AS nn_dist_e6,
+                   i.caption
+            FROM ic i LEFT JOIN pip p USING (image_id) LEFT JOIN knn k USING (image_id)
+            ORDER BY i.image_id
+        """,
+        # Per-cell flagship tile stats as exact integers. Coverage truth:
+        # every VALID Roof/Ground ring projects to an axis-aligned rect
+        # (synth.py corruption modes never move x/y of a still-valid ring;
+        # the gabled halves lie inside the ground rect), so covered pixels
+        # = ground-rect count when a valid ground exists, else the ≤2 roof
+        # rects via inclusion-exclusion. Pixel centers use the engine's
+        # exact arithmetic: base + (k + 0.5) * 0.25 (stages/images.py:139).
+        "q_tile_stats": f"""
+            WITH ic AS (
+                SELECT image_id, cx, cy, w, h,
+                       cx - w*0.25/2 AS bx, cy - h*0.25/2 AS by,
+                       CAST(floor(cx / 64.0) AS BIGINT) * 4294967296
+                       + (CAST(floor(cy / 64.0) AS BIGINT) & 4294967295) AS cell
+                FROM read_parquet('{images}')
+            ),
+            pip AS (
+                SELECT i.image_id, MIN(f.building_id) AS building_id
+                FROM ic i JOIN read_parquet('{footprints}') f
+                  ON i.cx >= f.xmin AND i.cx <= f.xmax
+                 AND i.cy >= f.ymin AND i.cy <= f.ymax
+                GROUP BY i.image_id
+            ),
+            rects AS (
+                SELECT building_id, semantic,
+                       list_min(list_transform(exterior, p -> p[1])) AS rx0,
+                       list_max(list_transform(exterior, p -> p[1])) AS rx1,
+                       list_min(list_transform(exterior, p -> p[2])) AS ry0,
+                       list_max(list_transform(exterior, p -> p[2])) AS ry1
+                FROM read_parquet('{surfaces}')
+                WHERE semantic IN ('RoofSurface', 'GroundSurface') AND truth_valid
+            ),
+            ground AS (
+                SELECT building_id, MIN(rx0) AS gx0, MIN(rx1) AS gx1,
+                       MIN(ry0) AS gy0, MIN(ry1) AS gy1
+                FROM rects WHERE semantic = 'GroundSurface' GROUP BY building_id
+            ),
+            per_roof AS (
+                SELECT i.image_id,
+                       len(list_filter(range(0, i.w),
+                           k -> i.bx + (k + 0.5) * 0.25 >= r.rx0
+                            AND i.bx + (k + 0.5) * 0.25 <= r.rx1))
+                     * len(list_filter(range(0, i.h),
+                           k -> i.by + (k + 0.5) * 0.25 >= r.ry0
+                            AND i.by + (k + 0.5) * 0.25 <= r.ry1)) AS cnt,
+                       r.rx0, r.rx1, r.ry0, r.ry1
+                FROM ic i JOIN pip p USING (image_id)
+                JOIN rects r ON r.building_id = p.building_id
+                           AND r.semantic = 'RoofSurface'
+            ),
+            roof_union AS (
+                SELECT pr.image_id, SUM(pr.cnt) AS s, COUNT(*) AS nr,
+                       MAX(pr.rx0) AS ix0, MIN(pr.rx1) AS ix1,
+                       MAX(pr.ry0) AS iy0, MIN(pr.ry1) AS iy1
+                FROM per_roof pr GROUP BY pr.image_id
+            ),
+            per_img AS (
+                SELECT i.image_id, i.cell, i.w, i.h,
+                       CASE WHEN p.building_id IS NULL THEN 0
+                       WHEN g.building_id IS NOT NULL THEN
+                           len(list_filter(range(0, i.w),
+                               k -> i.bx + (k + 0.5) * 0.25 >= g.gx0
+                                AND i.bx + (k + 0.5) * 0.25 <= g.gx1))
+                         * len(list_filter(range(0, i.h),
+                               k -> i.by + (k + 0.5) * 0.25 >= g.gy0
+                                AND i.by + (k + 0.5) * 0.25 <= g.gy1))
+                       ELSE coalesce(
+                           u.s - CASE WHEN u.nr >= 2 THEN
+                               len(list_filter(range(0, i.w),
+                                   k -> i.bx + (k + 0.5) * 0.25 >= u.ix0
+                                    AND i.bx + (k + 0.5) * 0.25 <= u.ix1))
+                             * len(list_filter(range(0, i.h),
+                                   k -> i.by + (k + 0.5) * 0.25 >= u.iy0
+                                    AND i.by + (k + 0.5) * 0.25 <= u.iy1))
+                           ELSE 0 END, 0)
+                       END AS cov_px,
+                       CASE WHEN p.building_id IS NULL THEN 0 ELSE 1 END AS matched
+                FROM ic i
+                LEFT JOIN pip p USING (image_id)
+                LEFT JOIN ground g ON g.building_id = p.building_id
+                LEFT JOIN roof_union u ON u.image_id = i.image_id
+            )
+            SELECT cell, CAST(SUM(matched) AS BIGINT) AS sum_matched,
+                   CAST(SUM(cov_px) AS BIGINT) AS cov_px,
+                   CAST(SUM(w * h) AS BIGINT) AS tile_px,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM per_img GROUP BY cell ORDER BY cell
         """,
     }
 

@@ -152,6 +152,8 @@ def run_flagship(
                     {"cell": pa.array([], pa.int64()),
                      "sum_matched": pa.array([], pa.float64()),
                      "sum_coverage": pa.array([], pa.float64()),
+                     "cov_px": pa.array([], pa.int64()),
+                     "tile_px": pa.array([], pa.int64()),
                      "n": pa.array([], pa.int64())}
                 ),
                 wall_sec=time.perf_counter() - t0,
@@ -195,13 +197,17 @@ def run_flagship(
 
     if len(ack_df):
         tile_df = (
-            ack_df.groupby("cell", as_index=False)[["sum_matched", "sum_coverage", "n"]]
+            ack_df.groupby("cell", as_index=False)[
+                ["sum_matched", "sum_coverage", "cov_px", "tile_px", "n"]
+            ]
             .sum()
             .sort_values("cell")
             .reset_index(drop=True)
         )
     else:
-        tile_df = pd.DataFrame({"cell": [], "sum_matched": [], "sum_coverage": [], "n": []})
+        tile_df = pd.DataFrame(
+            {"cell": [], "sum_matched": [], "sum_coverage": [], "cov_px": [], "tile_px": [], "n": []}
+        )
     tile_stats = pa.Table.from_pandas(tile_df, preserve_index=False)
 
     return FlagshipResult(

@@ -337,13 +337,24 @@ def edge_entry(tris: np.ndarray):
         E[0, k::3] = A
         E[1, k::3] = B
         E[2, k::3] = C
-    return E.astype(np.float32), center.astype(np.float64), lo, hi, T
+    # keep the exact f64 coefficients alongside the GEMM-fast f32 copy:
+    # borderline pixels are re-tested in f64 (see _coverage_mask_entry)
+    return E.astype(np.float32), center.astype(np.float64), lo, hi, T, E
+
+
+# f32 edge values carry ~1e-4 absolute error at these (centered) coordinate
+# magnitudes; anything inside this band gets an exact f64 re-test so the
+# inclusion decision never depends on f32 rounding (or BLAS config)
+_F32_EDGE_TOL = 1e-2
 
 
 def _coverage_mask_entry(xs: np.ndarray, ys: np.ndarray, entry) -> np.ndarray:
     """(len(ys), len(xs)) bool mask of pixel centers covered by any
-    triangle, from a precomputed ``edge_entry``."""
-    E, center, lo, hi, T = entry
+    triangle, from a precomputed ``edge_entry``. The bulk test is one f32
+    GEMM; pixels with any edge value inside ``_F32_EDGE_TOL`` are re-tested
+    in f64, making the mask exact (ADVICE r2: borderline pixels could flip
+    inclusion vs a f64 test)."""
+    E, center, lo, hi, T, E64 = entry
     full = np.zeros((len(ys), len(xs)), dtype=bool)
     mx = (xs >= lo[0]) & (xs <= hi[0])
     my = (ys >= lo[1]) & (ys <= hi[1])
@@ -359,6 +370,16 @@ def _coverage_mask_entry(xs: np.ndarray, ys: np.ndarray, entry) -> np.ndarray:
     neg = (D < 0).any(axis=2)
     pos = (D > 0).any(axis=2)
     inside_any = (~(neg & pos)).any(axis=1)
+    border = np.flatnonzero((np.abs(D) < _F32_EDGE_TOL).any(axis=(1, 2)))
+    if len(border):
+        hom64 = np.empty((len(border), 3), dtype=np.float64)
+        hom64[:, 0] = gx.ravel()[border]
+        hom64[:, 1] = gy.ravel()[border]
+        hom64[:, 2] = 1.0
+        D64 = (hom64 @ E64).reshape(len(border), T, 3)
+        neg64 = (D64 < 0).any(axis=2)
+        pos64 = (D64 > 0).any(axis=2)
+        inside_any[border] = (~(neg64 & pos64)).any(axis=1)
     sub = inside_any.reshape(int(my.sum()), int(mx.sum()))
     full[np.ix_(my, mx)] = sub
     return full

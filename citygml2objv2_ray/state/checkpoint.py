@@ -193,17 +193,47 @@ class PartitionedWriter:
         # per-(partition, cell) partial tile stats ride along in the ack so
         # the driver can aggregate tiles WITHOUT re-reading the output files
         has_cov = "roof_coverage" in batch.column_names
+        cov = (
+            np.asarray(batch["roof_coverage"], dtype=np.float64)
+            if has_cov
+            else np.zeros(batch.num_rows)
+        )
+        # exact integer twin of the coverage sum: coverage is cnt/(w*h), so
+        # rint(cov*w*h) recovers the covered-pixel COUNT exactly — integer
+        # sums are hash-stable across summation orders (f64 sums are not,
+        # and coverage rationals tie at decimal-rounding boundaries)
+        if has_cov and "w" in batch.column_names and "h" in batch.column_names:
+            px = np.asarray(batch["w"], dtype=np.int64) * np.asarray(
+                batch["h"], dtype=np.int64
+            )
+            cov_px = np.rint(cov * px).astype(np.int64)
+        else:
+            px = np.zeros(batch.num_rows, dtype=np.int64)
+            cov_px = np.zeros(batch.num_rows, dtype=np.int64)
         stats_src = pa.table(
             {
                 "partition_id": pa.array([str(int(p)) for p in parts], pa.string()),
                 "cell": batch["cell"],
                 "matched": pc.cast(pc.is_valid(batch["building_id"]), pa.float64()),
-                "coverage": batch["roof_coverage"] if has_cov
-                else pa.array(np.zeros(batch.num_rows)),
+                "coverage": pa.array(cov),
+                "cov_px": pa.array(cov_px),
+                "tile_px": pa.array(px),
             }
         )
         agg = stats_src.group_by(["partition_id", "cell"]).aggregate(
-            [("matched", "sum"), ("coverage", "sum"), ("cell", "count")]
+            [
+                ("matched", "sum"),
+                ("coverage", "sum"),
+                ("cov_px", "sum"),
+                ("tile_px", "sum"),
+                ("cell", "count"),
+            ]
         )
-        rename = {"matched_sum": "sum_matched", "coverage_sum": "sum_coverage", "cell_count": "n"}
+        rename = {
+            "matched_sum": "sum_matched",
+            "coverage_sum": "sum_coverage",
+            "cov_px_sum": "cov_px",
+            "tile_px_sum": "tile_px",
+            "cell_count": "n",
+        }
         return agg.rename_columns([rename.get(c, c) for c in agg.column_names])
