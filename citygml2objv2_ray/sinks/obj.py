@@ -112,6 +112,71 @@ def _intern_building_rings(g: pd.DataFrame, decimals: int) -> pd.DataFrame:
     )
 
 
+def _intern_bucket_vectorized(g: pd.DataFrame, decimals: int) -> pd.DataFrame:
+    """All (class, building) groups of one bucket interned in ONE
+    vectorized pass (the per-group loop paid pandas sort/stack/unique
+    overhead ~4850 times per sf0.1 convert). Dedup key = byte view of the
+    rounded (-0.0-folded) xyz triple — the same equivalence classes as
+    ``geom.vertex_key``'s repr strings (both injective on float64), with
+    no per-point string building. First-appearance order per group falls
+    out of one global ``np.unique`` + stable argsort."""
+    g = g.sort_values(
+        ["semantic", "building_seq", "poly_seq", "tri_seq"], kind="stable"
+    ).reset_index(drop=True)
+    T = len(g)
+    tri_pts = np.stack(
+        [np.stack(g[c].to_numpy()).astype(np.float64) for c in ("p0", "p1", "p2")],
+        axis=1,
+    )  # (T, 3, 3)
+    flat = tri_pts.reshape(-1, 3)
+    r = np.round(flat, decimals) + 0.0  # fold -0.0 (same as vertex_key)
+    rb = np.ascontiguousarray(r).view(np.dtype((np.void, 24))).ravel()
+    kcode, _ = pd.factorize(rb, sort=False)
+    # contiguous group id per triangle (rows are group-sorted)
+    sem = g.semantic.to_numpy()
+    seq = g.building_seq.to_numpy()
+    new_grp = np.concatenate(
+        [[True], (sem[1:] != sem[:-1]) | (seq[1:] != seq[:-1])]
+    )
+    grp_t = np.cumsum(new_grp) - 1  # (T,)
+    grp = np.repeat(grp_t, 3)
+    K = int(kcode.max()) + 1 if len(kcode) else 1
+    pcode = grp.astype(np.int64) * K + kcode
+    uniq, first_idx, inverse = np.unique(pcode, return_index=True, return_inverse=True)
+    order = np.argsort(first_idx, kind="stable")  # global first-appearance
+    # unique pairs in `order` are group-contiguous (groups are row-contiguous)
+    g_of_u = (uniq // K)[order]
+    u_new_grp = np.concatenate([[True], g_of_u[1:] != g_of_u[:-1]])
+    grp_start = np.maximum.accumulate(np.where(u_new_grp, np.arange(len(g_of_u)), 0))
+    rank_sorted = np.arange(len(g_of_u)) - grp_start  # local 0-based index
+    rank_of = np.empty(len(order), dtype=np.int64)
+    rank_of[order] = rank_sorted
+    local_index = rank_of[inverse]  # per corner
+    verts_all = flat[first_idx[order]]  # group-major first-appearance verts
+
+    # per-group slices
+    tri_counts = np.bincount(grp_t, minlength=grp_t[-1] + 1 if T else 0)
+    vert_counts = np.bincount(g_of_u.astype(np.int64), minlength=len(tri_counts))
+    tri_bounds = np.concatenate([[0], np.cumsum(tri_counts) * 3])
+    vert_bounds = np.concatenate([[0], np.cumsum(vert_counts)])
+    first_rows = np.concatenate([[0], np.cumsum(tri_counts)])[:-1]
+    rows = []
+    bids = g.building_id.to_numpy()
+    for j in range(len(tri_counts)):
+        i0 = int(first_rows[j])
+        rows.append(
+            dict(
+                building_id=bids[i0],
+                building_seq=int(seq[i0]),
+                n_vertices=int(vert_counts[j]),
+                verts=verts_all[vert_bounds[j] : vert_bounds[j + 1]].ravel().tolist(),
+                faces=local_index[tri_bounds[j] : tri_bounds[j + 1]].tolist(),
+                semantic=sem[i0],
+            )
+        )
+    return pd.DataFrame(rows)
+
+
 def _render_blocks(
     interned: rd.Dataset,
     cfg: EngineConfig,
@@ -254,24 +319,107 @@ def write_obj_per_class(
     ``preserve=True`` the input is the VALIDATED SURFACES table and each
     polygon becomes one n-gon face (``-p`` / SKIPTRI parity).
 
-    The input table is materialized ONCE; the per-class passes filter the
-    cached blocks (object-store reads), never re-executing the upstream
-    pipeline."""
-    os.makedirs(out_dir, exist_ok=True)
-    import pyarrow.compute as pc
+    ONE shuffle interns every (class, building) at once — the round-2
+    shape looped classes serially, each with its own shuffle+materialize
+    over the shared input (VERDICT r2 item 7). Offsets are a per-class
+    cumsum over the tiny (semantic, building_seq, n_vertices) projection;
+    the rendered blocks are sorted once on (semantic, building_seq) and
+    streamed to the per-class files in a single pass. Output bytes are
+    identical to the per-class path."""
+    import ray
 
-    tris = tris.materialize()
-    classes = sorted(tris.unique("semantic"))
-    out: dict[str, str] = {}
-    for cl in classes:
-        sub = tris.map_batches(
-            lambda b, cl=cl: b.filter(pc.equal(b["semantic"], pa.scalar(cl))),
-            batch_format="pyarrow",
+    os.makedirs(out_dir, exist_ok=True)
+    intern_fn = _intern_building_rings if preserve else _intern_building
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # composite coarse bucket per (class, 64-building block): all
+        # classes ride one shuffle; per-group overhead stays ~n/64
+        return df.assign(
+            _bucket=df.semantic.astype(str) + "|" + (df.building_seq // 64).astype(str)
         )
-        path = os.path.join(out_dir, f"{name}-{cl}.obj")
-        with open(path, "w") as f:
-            write_obj_class(sub, f, cfg, group_markers=group_markers, preserve=preserve)
-        out[cl] = path
+
+    def intern_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if preserve:
+            out = []
+            for (sem, _), bg in g.groupby(["semantic", "building_id"], sort=False):
+                r = intern_fn(bg, cfg.vertex_round_decimals)
+                r["semantic"] = sem
+                out.append(r)
+            return pd.concat(out).drop(columns=["_bucket"], errors="ignore")
+        return _intern_bucket_vectorized(g, cfg.vertex_round_decimals)
+
+    interned = (
+        tris.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(intern_bucket, batch_format="pandas")
+        .materialize()
+    )
+    counts = interned.select_columns(["semantic", "building_seq", "n_vertices"]).to_pandas()
+    if counts.empty:
+        return {}
+    counts = counts.sort_values(["semantic", "building_seq"]).reset_index(drop=True)
+    counts["off"] = counts.groupby("semantic").n_vertices.cumsum() - counts.n_vertices
+    off_ref = ray.put(
+        {
+            (s, int(b)): int(o)
+            for s, b, o in zip(counts.semantic, counts.building_seq, counts.off)
+        }
+    )
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref) if isinstance(off_ref, ray.ObjectRef) else off_ref
+        texts = []
+        for row in df.itertuples():
+            lines: list[str] = []
+            if group_markers:
+                lines.append(f"o {row.building_id}")
+            v = np.asarray(row.verts, dtype=np.float64).reshape(-1, 3)
+            for p in v:
+                lines.append(f"v {p[0]!r} {p[1]!r} {p[2]!r}")
+            fidx = (
+                np.asarray(row.faces, dtype=np.int64)
+                + 1
+                + offs[(row.semantic, int(row.building_seq))]
+            )
+            if hasattr(row, "face_lens") and row.face_lens is not None:
+                pos = 0
+                for ln in row.face_lens:
+                    lines.append("f " + " ".join(str(i) for i in fidx[pos : pos + ln]))
+                    pos += ln
+            else:
+                for a, b_, c in fidx.reshape(-1, 3):
+                    lines.append(f"f {a} {b_} {c}")
+            texts.append("\n".join(lines))
+        return pd.DataFrame(
+            {
+                "semantic": df.semantic.to_numpy(),
+                "building_seq": df.building_seq.to_numpy(),
+                "text": texts,
+            }
+        )
+
+    blocks = interned.map_batches(render, batch_format="pandas").sort(
+        ["semantic", "building_seq"]
+    )
+    out: dict[str, str] = {}
+    fh = None
+    cur = None
+    try:
+        for batch in blocks.iter_batches(batch_format="pandas"):
+            for sem, text in zip(batch["semantic"], batch["text"]):
+                if sem != cur:
+                    if fh is not None:
+                        fh.close()
+                    cur = sem
+                    path = os.path.join(out_dir, f"{name}-{sem}.obj")
+                    out[sem] = path
+                    fh = open(path, "w")
+                    fh.write("# citygml2objv2_ray OBJ export\n")
+                fh.write(text)
+                fh.write("\n")
+    finally:
+        if fh is not None:
+            fh.close()
     return out
 
 
