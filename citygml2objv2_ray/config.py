@@ -55,6 +55,10 @@ class EngineConfig:
     vertical_nz_tol: float = 0.1         # polygon3dmodule.py:603
     bbox_buffer: float = 3.0             # componentseparationmodule.py:103-109
     vertex_round_decimals: int = 9       # exact-dedup key rounding for float64 xyz
+    # opt-in CORRECT self-intersection clause (the reference's isPolySimple
+    # is disabled dead code, polygon3dmodule.py:98-101/126-204; default
+    # False = bug-for-bug parity)
+    strict_valid: bool = False
 
     # spatial grid (H3/S2 stand-in: integer lat/lng-style grid, SURVEY §2.F)
     cell_size: float = 64.0              # world units per cell at the join resolution

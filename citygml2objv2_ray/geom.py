@@ -110,6 +110,49 @@ def is_planar(ring: np.ndarray, eps: float = DEFAULT_CONFIG.planarity_eps) -> bo
     return bool(np.max(np.abs(d)) <= eps)
 
 
+def ring_self_intersects(ring: np.ndarray) -> bool:
+    """CORRECT 2-D projected self-intersection test — the clause the
+    reference INTENDED with its disabled ``isPolySimple``
+    (polygon3dmodule.py:126-204; its ``intersection`` helper only tested
+    segment non-parallelism, which is why the clause was turned off at
+    :98-101). Projects to the dominant plane (drop the largest |normal|
+    axis — generalizes the reference's vertical XZ/YZ special cases) and
+    tests every non-adjacent edge pair for PROPER crossing with exact
+    orientation signs, vectorized over all pairs."""
+    pts = np.asarray(ring, dtype=np.float64)
+    if ring_is_closed(pts):
+        pts = pts[:-1]
+    E = len(pts)
+    if E < 4:  # a triangle cannot properly self-intersect
+        return False
+    n = newell_normal(pts)
+    if n.any():
+        ax = int(np.argmax(np.abs(n)))
+    else:
+        # figure-eights have ZERO net Newell normal (the lobes cancel) —
+        # project by dropping the flattest coordinate axis instead
+        ax = int(np.argmin(np.ptp(pts, axis=0)))
+    keep = [i for i in range(3) if i != ax]
+    p = pts[:, keep]
+    q = np.roll(p, -1, axis=0)
+    i, j = np.triu_indices(E, k=2)
+    adjacent = (i == 0) & (j == E - 1)  # first and last edge share a vertex
+    i, j = i[~adjacent], j[~adjacent]
+
+    def orient(a, b, c):
+        return (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) - (b[:, 1] - a[:, 1]) * (
+            c[:, 0] - a[:, 0]
+        )
+
+    a, b = p[i], q[i]
+    c, d = p[j], q[j]
+    cross = (
+        (orient(a, b, c) * orient(a, b, d) < 0)
+        & (orient(c, d, a) * orient(c, d, b) < 0)
+    )
+    return bool(cross.any())
+
+
 def is_valid_ring(
     ring: np.ndarray, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> tuple[bool, str]:
@@ -117,7 +160,9 @@ def is_valid_ring(
     (polygon3dmodule.py:70-102): ring closed; >= 4 points incl. closure;
     no identical consecutive points; planar within eps. (The
     self-intersection clause is disabled in the reference at
-    polygon3dmodule.py:98-101 and therefore here too.)
+    polygon3dmodule.py:98-101 and therefore off by DEFAULT here too;
+    ``cfg.strict_valid`` opts into a correct implementation of it —
+    ``ring_self_intersects``.)
 
     Returns (valid, reason) with reason "" when valid.
     """
@@ -135,6 +180,8 @@ def is_valid_ring(
         return False, "not_planar"
     if not newell_normal(pts).any():
         return False, "degenerate_normal"
+    if getattr(cfg, "strict_valid", False) and ring_self_intersects(pts):
+        return False, "self_intersecting"
     return True, ""
 
 

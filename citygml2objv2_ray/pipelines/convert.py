@@ -82,6 +82,11 @@ def convert(
             tris, out_dir, name=name, cfg=cfg, group_markers=group_markers
         )
     write_mtl(os.path.join(out_dir, "colormap.mtl"), cfg.mtl_bins)
+    # E9 legend artifact for the colormap (plotcolorbar.py:31-77) —
+    # closed-form PNG, no matplotlib
+    from ..sinks.colorbar import write_colorbar
+
+    write_colorbar(os.path.join(out_dir, "colorbar.png"), bins=cfg.mtl_bins)
     return out
 
 

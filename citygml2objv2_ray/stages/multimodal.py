@@ -1,16 +1,19 @@
-"""Multimodal (audio/video) stages — REAL Ray-side plumbing, STUBBED codecs.
+"""Multimodal (audio/video) stages — REAL Ray-side plumbing, gated codecs.
 
-Per the build brief: audio/video libraries are not in this container, so
-the decode kernels are clearly-marked stubs (``NotImplementedError`` for
-real formats, a deterministic fake codec for tests), while everything Ray
-cares about — schemas, batch sizing, actor/task signatures, output layout —
-is real and tested. Swap ``_decode_audio``/``_decode_video_frame`` for
-ffmpeg/soundfile bindings in a full deployment; nothing else changes.
+Codec tiers (the Ray side — schemas, batch sizing, task signatures, output
+layout — is identical for all three):
 
-Fake formats (deterministic, self-describing):
-- ``rawpcm``: header ``b"RAWPCM"`` + int32 sample_rate + int16 samples.
-- ``rawvid``: header ``b"RAWVID"`` + int32 (n_frames, h, w) + uint8 RGB
-  frames back to back.
+1. **Always-on real format**: 16-bit PCM ``wav`` via the stdlib ``wave``
+   module — a genuine container format decoded end-to-end in this sandbox.
+2. **Optional real codecs**: ``mp3``/``flac``/``ogg`` via ``soundfile``
+   and ``mp4``/``h264`` via ``pyav``, behind import-try shims (the same
+   pattern as the Lance reader, ``sources/lance.py``) — used when the
+   deployment has them, skipped-with-reason otherwise.
+3. **Deterministic fakes** for tests: ``rawpcm`` (header ``b"RAWPCM"`` +
+   int32 sample_rate + int16 samples) and ``rawvid`` (header ``b"RAWVID"``
+   + int32 (n_frames, h, w) + uint8 RGB frames back to back).
+
+Anything else raises a clearly-marked ``NotImplementedError``.
 """
 
 from __future__ import annotations
@@ -19,6 +22,32 @@ import struct
 
 import numpy as np
 import pyarrow as pa
+
+_OPTIONAL: dict = {}
+
+
+def soundfile_mod():
+    """``soundfile`` if importable else None (import-try shim)."""
+    if "sf" not in _OPTIONAL:
+        try:
+            import soundfile as sf  # type: ignore
+
+            _OPTIONAL["sf"] = sf
+        except Exception:
+            _OPTIONAL["sf"] = None
+    return _OPTIONAL["sf"]
+
+
+def pyav_mod():
+    """``av`` (PyAV) if importable else None (import-try shim)."""
+    if "av" not in _OPTIONAL:
+        try:
+            import av  # type: ignore
+
+            _OPTIONAL["av"] = av
+        except Exception:
+            _OPTIONAL["av"] = None
+    return _OPTIONAL["av"]
 
 AUDIO_SCHEMA = pa.schema(
     [
@@ -54,12 +83,50 @@ def encode_rawvid(frames: np.ndarray) -> bytes:
     return b"RAWVID" + struct.pack("<iii", n, h, w) + f.tobytes()
 
 
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """16-bit mono PCM WAV via stdlib ``wave`` — the always-on REAL format."""
+    import io
+    import wave
+
+    s = np.asarray(samples, dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(int(sample_rate))
+        w.writeframes(s.tobytes())
+    return buf.getvalue()
+
+
 def _decode_audio(data, fmt: str) -> tuple[np.ndarray, int]:
     if fmt == "rawpcm" and bytes(data[:6]) == b"RAWPCM":
         (rate,) = struct.unpack("<i", data[6:10])
         return np.frombuffer(data[10:], dtype=np.int16), rate
-    # STUB: real codecs (mp3/flac/wav via soundfile/ffmpeg) not available
-    raise NotImplementedError(f"audio codec {fmt!r} requires soundfile/ffmpeg (not in container)")
+    if fmt == "wav":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(bytes(data))) as w:
+            rate = w.getframerate()
+            ch = w.getnchannels()
+            sw = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+        if sw != 2:
+            raise NotImplementedError(f"wav sample width {sw} (only 16-bit PCM)")
+        samples = np.frombuffer(raw, dtype=np.int16)
+        if ch > 1:  # deterministic downmix
+            samples = samples.reshape(-1, ch).mean(axis=1).astype(np.int16)
+        return samples, rate
+    sf = soundfile_mod()
+    if sf is not None and fmt in ("mp3", "flac", "ogg"):
+        import io
+
+        x, rate = sf.read(io.BytesIO(bytes(data)), dtype="int16", always_2d=True)
+        return x.mean(axis=1).astype(np.int16), int(rate)
+    # gated: real compressed codecs need soundfile (not in this container)
+    raise NotImplementedError(
+        f"audio codec {fmt!r} requires soundfile/ffmpeg (not in container)"
+    )
 
 
 def _decode_video_frame(data, fmt: str, frame_idx: int) -> np.ndarray:
@@ -70,8 +137,20 @@ def _decode_video_frame(data, fmt: str, frame_idx: int) -> np.ndarray:
         sz = h * w * 3
         off = 18 + frame_idx * sz
         return np.frombuffer(data[off : off + sz], dtype=np.uint8).reshape(h, w, 3)
-    # STUB: real codecs (mp4/h264 via ffmpeg/pyav) not available
-    raise NotImplementedError(f"video codec {fmt!r} requires ffmpeg/pyav (not in container)")
+    av = pyav_mod()
+    if av is not None and fmt in ("mp4", "h264", "mkv", "webm"):
+        import io
+
+        with av.open(io.BytesIO(bytes(data))) as container:
+            stream = container.streams.video[0]
+            for i, frame in enumerate(container.decode(stream)):
+                if i == frame_idx:
+                    return frame.to_ndarray(format="rgb24")
+        raise IndexError(f"frame {frame_idx} past end of stream")
+    # gated: real video codecs need PyAV/ffmpeg (not in this container)
+    raise NotImplementedError(
+        f"video codec {fmt!r} requires ffmpeg/pyav (not in container)"
+    )
 
 
 class AudioFeatures:

@@ -219,3 +219,75 @@ class TestPropertyInvariants:
             ring = np.vstack([pts3, pts3[:1]])
             tris = geom.triangulate_polygon(ring)
             assert tri_area_sum(tris) == pytest.approx(geom.ring_area_3d(ring), rel=1e-7)
+
+
+class TestStrictValid:
+    """Opt-in self-intersection clause (EngineConfig.strict_valid) — the
+    reference's isPolySimple is disabled dead code
+    (polygon3dmodule.py:98-101); default behavior must stay bug-for-bug
+    identical, strict mode must reject crossing rings."""
+
+    BOWTIE = np.array(  # proper figure-eight crossing in the XY plane
+        [[0, 0, 0], [2, 2, 0], [2, 0, 0], [0, 2, 0], [0, 0, 0]], dtype=float
+    )
+    SQUARE = np.array(
+        [[0, 0, 0], [2, 0, 0], [2, 2, 0], [0, 2, 0], [0, 0, 0]], dtype=float
+    )
+    # vertical bowtie (XZ plane) — exercises the dominant-axis projection
+    BOWTIE_XZ = np.array(
+        [[0, 0, 0], [2, 0, 2], [2, 0, 0], [0, 0, 2], [0, 0, 0]], dtype=float
+    )
+    # concave but simple (L shape)
+    LSHAPE = np.array(
+        [[0, 0, 0], [2, 0, 0], [2, 1, 0], [1, 1, 0], [1, 2, 0], [0, 2, 0], [0, 0, 0]],
+        dtype=float,
+    )
+
+    def test_detector_truth_table(self):
+        assert geom.ring_self_intersects(self.BOWTIE)
+        assert geom.ring_self_intersects(self.BOWTIE_XZ)
+        assert not geom.ring_self_intersects(self.SQUARE)
+        assert not geom.ring_self_intersects(self.LSHAPE)
+        tri = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 0]], dtype=float)
+        assert not geom.ring_self_intersects(tri)
+
+    # asymmetric crossing ring with NONZERO net area (a symmetric bowtie's
+    # lobes cancel to a degenerate Newell normal, which the live
+    # degenerate_normal clause already rejects in both engines)
+    SPIRAL = np.array(
+        [[0, 0, 0], [3, 0, 0], [0, 1, 0], [1, 2, 0], [0, 0, 0]], dtype=float
+    )
+
+    def test_default_parity_strict_rejects(self):
+        import dataclasses
+
+        from citygml2objv2_ray.config import DEFAULT_CONFIG
+
+        assert geom.ring_self_intersects(self.SPIRAL)
+        ok_default, _ = geom.is_valid_ring(self.SPIRAL, DEFAULT_CONFIG)
+        assert ok_default  # parity: the reference accepts it (clause disabled)
+        strict = dataclasses.replace(DEFAULT_CONFIG, strict_valid=True)
+        ok_strict, why = geom.is_valid_ring(self.SPIRAL, strict)
+        assert not ok_strict and why == "self_intersecting"
+        ok_sq, _ = geom.is_valid_ring(self.SQUARE, strict)
+        assert ok_sq
+        ok_l, _ = geom.is_valid_ring(self.LSHAPE, strict)
+        assert ok_l
+
+
+class TestColorbar:
+    def test_colorbar_pixels(self, tmp_path):
+        """E9 artifact: afmhot ramp ends + decodable PNG + rendered labels
+        (black pixels in the label strip), no matplotlib."""
+        from citygml2objv2_ray.codecs import png_decode
+        from citygml2objv2_ray.sinks.colorbar import write_colorbar
+        from citygml2objv2_ray.sinks.obj import afmhot
+
+        p = write_colorbar(str(tmp_path / "colorbar.png"), vmin=350, vmax=1300)
+        img = png_decode(open(p, "rb").read())
+        want_lo = (afmhot(np.array([0.0])) * 255 + 0.5).astype(np.uint8)[0]
+        want_hi = (afmhot(np.array([1.0])) * 255 + 0.5).astype(np.uint8)[0]
+        assert (img[0, 0] == want_lo).all()
+        assert (img[0, -1] == want_hi).all()
+        label_strip = img[46:, :, :]
+        assert (label_strip == 0).all(axis=2).sum() > 50  # rendered digits
