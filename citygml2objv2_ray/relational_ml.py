@@ -223,14 +223,17 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
        run-length pair generation inside (the same pattern as
        ``q_phash_neardup`` — per-bucket map_groups and the native join
        were measured 10-40x slower), per-group pair dedup;
-    3. global pair-dedup on the candidate-pair-scale stream;
-    4. verify via TWO super-group shuffles, no driver broadcast: each pair
+    3. verify via TWO super-group shuffles, no driver broadcast: each pair
        is exploded into two (doc-keyed) halves and unioned with the
        (doc_id, text) stream; grouping on the doc key attaches each half
        its text (a distributed semi-join — the docs table crosses this
        shuffle exactly once and only pair-halves survive it); a second
        shuffle on the PAIR key reunites the halves and computes true
-       shingle-Jaccard in-group with a per-group shingle cache.
+       shingle-Jaccard in-group with a per-group shingle cache. The global
+       pair-dedup rides this second shuffle for free (identical pairs land
+       in the same group; their duplicate halves are dropped in-group), so
+       there is no separate dedup shuffle and NO driver-side count barrier
+       anywhere in the pipeline.
 
     Super-group fan-out is derived from the documents row count
     (``ops.derive_num_groups``), not pinned at 64.
@@ -269,9 +272,6 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
 
     keyed = bands.map_batches(band_key, batch_format="pandas")
     pairs = keyed.groupby("_sg").map_groups(pairs_in_supergroup, batch_format="pandas")
-    pairs = dd.dedup_pairs(pairs, "doc_a", "doc_b", num_groups=ng).materialize()
-    if not pairs.count():
-        return EMPTY
 
     # -- distributed verify: semi-join texts onto pair-halves, then reunite
     KIND_DOC, KIND_PAIR = np.int8(0), np.int8(1)
@@ -345,8 +345,15 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
         return df.assign(_pg=(h.astype(np.uint64) % np.uint64(ng)).astype(np.int64))
 
     def verify_group(g: pd.DataFrame) -> pd.DataFrame:
-        # both halves of a pair land here; sort reunites them (side 0, 1)
-        g = g.sort_values(["doc_a", "doc_b", "side"], kind="stable")
+        # both halves of a pair land here; sort reunites them (side 0, 1).
+        # A pair found in several LSH bands arrives several times with
+        # IDENTICAL halves — the global pair-dedup happens here, riding
+        # this shuffle instead of needing one of its own.
+        g = g.drop_duplicates(["doc_a", "doc_b", "side"]).sort_values(
+            ["doc_a", "doc_b", "side"], kind="stable"
+        )
+        if not len(g):
+            return EMPTY
         a = g.doc_a.to_numpy()[0::2]
         b = g.doc_b.to_numpy()[0::2]
         ta = g.text.to_numpy()[0::2]
