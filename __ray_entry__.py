@@ -181,10 +181,17 @@ def _q_phash_dup_groups(sf_dir: str):
     import ray.data as rd
 
     from citygml2objv2_ray import worlds
-    from citygml2objv2_ray.ops import supergroup_agg
+    from citygml2objv2_ray.ops import derive_num_blocks, parquet_num_rows, supergroup_agg
 
     images_path, _, _ = worlds.load_world(worlds.sf_of_dir(sf_dir))
-    ds = rd.read_parquet(images_path, columns=["image_id", "phash"])
+    # narrow 2-column read: block count derived from rows, or Ray fragments
+    # the (image-bytes-sized) files into hundreds of ~1k-row blocks and the
+    # supergroup shuffle becomes slice-overhead-bound
+    ds = rd.read_parquet(
+        images_path,
+        columns=["image_id", "phash"],
+        override_num_blocks=derive_num_blocks(parquet_num_rows(images_path)),
+    )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("phash", sort=False).agg(n=("image_id", "size"), first_img=("image_id", "min"))

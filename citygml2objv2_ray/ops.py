@@ -113,6 +113,19 @@ def derive_num_groups(n_rows: int | None, cfg=None) -> int:
     )
 
 
+def derive_num_blocks(n_rows: int | None, target_rows: int = 8192, lo: int = 32, hi: int = 2048) -> int:
+    """Read-side block-count override for shuffle-bound pipelines: Ray's
+    sort cost has a per-(input-block x output-partition) slice overhead,
+    so a read that fragments a small-row table into hundreds of ~1k-row
+    blocks makes the following groupby sort-bound (measured 5.3 s of a
+    6 s phash-neardup wall at sf0.1 with 288 blocks; 0.6 s at 32).
+    One block per ~``target_rows`` rows, clamped so parallelism never
+    drops below a node's cores nor explodes the slice matrix."""
+    if not n_rows:
+        return lo
+    return int(min(hi, max(lo, n_rows // target_rows)))
+
+
 def supergroup_agg(
     ds: rd.Dataset,
     keys: list[str],

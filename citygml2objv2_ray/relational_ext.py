@@ -253,12 +253,19 @@ def q_phash_neardup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     from .codecs import hamming64
     from .worlds import load_world, sf_of_dir
 
-    from .ops import derive_num_groups, parquet_num_rows
+    from .ops import derive_num_blocks, derive_num_groups, parquet_num_rows
 
     images_path, _, _ = load_world(sf_of_dir(sf_dir))
-    ds = rd.read_parquet(images_path, columns=["image_id", "phash"])
-    # x4 band explode rows; fan-out derived from the input, not pinned at 64
+    # x4 band explode rows; fan-out derived from the input, not pinned at 64.
+    # Coalesce the read into ~8k-row blocks: the groupby sort's slice
+    # overhead is (blocks x partitions), and the world's many small files
+    # otherwise fragment this 32-byte-row table into hundreds of blocks.
     nimg = parquet_num_rows(images_path)
+    ds = rd.read_parquet(
+        images_path,
+        columns=["image_id", "phash"],
+        override_num_blocks=derive_num_blocks(nimg),
+    )
     ng = derive_num_groups(nimg * 4 if nimg else None)
 
     def bands(df: pd.DataFrame) -> pd.DataFrame:
@@ -300,7 +307,7 @@ def q_phash_neardup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
         )
         return out.drop_duplicates(["img_a", "img_b"])
 
-    banded = ds.map_batches(bands, batch_format="pandas")
+    banded = ds.map_batches(bands, batch_format="pandas", batch_size=8192)
     pairs = banded.groupby("_sg").map_groups(pairs_in_supergroup, batch_format="pandas")
     out = pairs.to_pandas()
     if not len(out):

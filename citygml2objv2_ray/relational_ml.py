@@ -238,7 +238,7 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
     Super-group fan-out is derived from the documents row count
     (``ops.derive_num_groups``), not pinned at 64.
     """
-    from .ops import derive_num_groups
+    from .ops import derive_num_blocks, derive_num_groups
 
     EMPTY = pd.DataFrame(
         {
@@ -247,8 +247,15 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
             "jaccard": pd.array([], dtype=float),
         }
     )
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    ng = derive_num_groups(_nrows(sf_dir, "documents"))
+    nd = _nrows(sf_dir, "documents")
+    # spread the (often single-file) docs table across blocks so the
+    # minhash stage parallelizes instead of running as one task
+    docs = rd.read_parquet(
+        _t(sf_dir, "documents"),
+        columns=["doc_id", "text"],
+        override_num_blocks=derive_num_blocks(nd, target_rows=2048),
+    )
+    ng = derive_num_groups(nd)
     # task pool (instance, not class): the stage's only state is the tiny
     # seeded hash family — elastic tasks beat a fixed 4-slot actor pool
     bands = docs.map_batches(
