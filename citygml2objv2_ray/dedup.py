@@ -98,6 +98,33 @@ def jaccard(a: set, b: set) -> float:
     return len(a & b) / u if u else 0.0
 
 
+def word_ngram_list(text: str, n: int = 3) -> list[str]:
+    """Distinct word n-grams of lowercased whitespace-split text; EMPTY
+    for docs shorter than n tokens. This (not ``word_ngrams``, whose
+    short-doc fallback emits a partial gram) is the family the exact
+    n-gram-Jaccard query and its DuckDB twin share — the SQL side
+    generates no grams when len(ws) < n either."""
+    toks = text.lower().split()
+    if len(toks) < n:
+        return []
+    seen: set[str] = set()
+    out: list[str] = []
+    for i in range(len(toks) - n + 1):
+        g = " ".join(toks[i : i + n])
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
+def word_ngram_ids(text: str, n: int = 3) -> np.ndarray:
+    """Sorted-unique uint64 FNV ids of the distinct word n-grams — the
+    verify-side shingle family for exact n-gram Jaccard
+    (``relational_ml.q_ngram_jaccard``). Jaccard over these ids equals
+    Jaccard over the gram strings barring 64-bit collisions."""
+    return np.unique(_stable_token_ids(word_ngram_list(text, n)))
+
+
 class MinHasher:
     """Vectorized MinHash over the universal multiply-add family
     h_i(x) = (a_i * x + b_i) mod 2^64 with odd a_i — pure uint64 wrapping

@@ -210,77 +210,43 @@ def q_langid(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "lang_pred", "n_tokens", "fingerprint"]].sort_values("doc_id").reset_index(drop=True)
 
 
-# rows-only: minhash near-dup pairs (brute-force Jaccard parity oracle in
-# tests/test_neardup_parity.py)
-@query("q_minhash_neardup")
-def q_minhash_neardup(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
-    """MinHash+LSH near-dup, fully distributed (nothing corpus- or
-    candidate-scale ever reaches the driver):
+_PAIRS_EMPTY = pd.DataFrame(
+    {
+        "doc_a": pd.array([], dtype=np.int64),
+        "doc_b": pd.array([], dtype=np.int64),
+        "jaccard": pd.array([], dtype=float),
+    }
+)
 
-    1. shingle→minhash→band keys (vectorized ``MinHashStage``, exploded
-       one row per (doc, band));
-    2. shuffle on a COARSE super-group of the band bucket with vectorized
-       run-length pair generation inside (the same pattern as
-       ``q_phash_neardup`` — per-bucket map_groups and the native join
-       were measured 10-40x slower), per-group pair dedup;
-    3. verify via TWO super-group shuffles, no driver broadcast: each pair
-       is exploded into two (doc-keyed) halves and unioned with the
-       (doc_id, text) stream; grouping on the doc key attaches each half
-       its text (a distributed semi-join — the docs table crosses this
-       shuffle exactly once and only pair-halves survive it); a second
-       shuffle on the PAIR key reunites the halves and computes true
-       shingle-Jaccard in-group with a per-group shingle cache. The global
-       pair-dedup rides this second shuffle for free (identical pairs land
-       in the same group; their duplicate halves are dropped in-group), so
-       there is no separate dedup shuffle and NO driver-side count barrier
-       anywhere in the pipeline.
 
-    Super-group fan-out is derived from the documents row count
-    (``ops.derive_num_groups``), not pinned at 64.
+def verify_pairs_jaccard(
+    pairs: rd.Dataset,
+    docs: rd.Dataset,
+    ng: int,
+    threshold: float,
+    shingle_fn,
+) -> pd.DataFrame:
+    """Distributed exact-Jaccard verification of candidate pairs — the
+    shared tail of every text near-dup query (MinHash LSH, exact n-gram
+    index). Nothing corpus- or candidate-scale ever reaches the driver:
+
+    TWO super-group shuffles, no driver broadcast: each pair is exploded
+    into two (doc-keyed) halves and unioned with the (doc_id, text)
+    stream; grouping on the doc key attaches each half its text (a
+    distributed semi-join — the docs table crosses this shuffle exactly
+    once and only pair-halves survive it); a second shuffle on the PAIR
+    key reunites the halves and computes true Jaccard in-group with a
+    per-group shingle cache. Global pair-dedup rides this second shuffle
+    for free (identical pairs — e.g. one pair found by several LSH bands
+    or several shared shingles — land in the same group; their duplicate
+    halves are dropped in-group), so there is no separate dedup shuffle
+    and NO driver-side count barrier anywhere.
+
+    ``shingle_fn`` maps text -> sorted-unique uint64 ids and defines the
+    Jaccard family (char shingles for MinHash, word n-grams for the
+    exact index). The kept-pair filter compares the ROUNDED (6 dp)
+    Jaccard against ``threshold`` so SQL twins can mirror it exactly.
     """
-    from .ops import derive_num_blocks, derive_num_groups
-
-    EMPTY = pd.DataFrame(
-        {
-            "doc_a": pd.array([], dtype=np.int64),
-            "doc_b": pd.array([], dtype=np.int64),
-            "jaccard": pd.array([], dtype=float),
-        }
-    )
-    nd = _nrows(sf_dir, "documents")
-    # spread the (often single-file) docs table across blocks so the
-    # minhash stage parallelizes instead of running as one task
-    docs = rd.read_parquet(
-        _t(sf_dir, "documents"),
-        columns=["doc_id", "text"],
-        override_num_blocks=derive_num_blocks(nd, target_rows=2048),
-    )
-    ng = derive_num_groups(nd)
-    # task pool (instance, not class): the stage's only state is the tiny
-    # seeded hash family — elastic tasks beat a fixed 4-slot actor pool
-    bands = docs.map_batches(
-        dd.MinHashStage(), batch_format="pandas", batch_size=256
-    )
-
-    def band_key(df: pd.DataFrame) -> pd.DataFrame:
-        bkey = dd.mix_band_key(df.band_hash.to_numpy(), df.band.to_numpy())
-        return pd.DataFrame(
-            {"doc_id": df.doc_id, "bkey": bkey, "_sg": dd.supergroup_of(bkey, ng)}
-        )
-
-    def pairs_in_supergroup(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["bkey", "doc_id"], kind="stable").reset_index(drop=True)
-        A, B = dd.bucket_pair_indices(g.bkey.to_numpy())
-        if not len(A):
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        ids = g.doc_id.to_numpy()
-        out = pd.DataFrame({"doc_a": ids[A], "doc_b": ids[B]})
-        return out.drop_duplicates(["doc_a", "doc_b"])
-
-    keyed = bands.map_batches(band_key, batch_format="pandas")
-    pairs = keyed.groupby("_sg").map_groups(pairs_in_supergroup, batch_format="pandas")
-
-    # -- distributed verify: semi-join texts onto pair-halves, then reunite
     KIND_DOC, KIND_PAIR = np.int8(0), np.int8(1)
 
     def pair_halves(df: pd.DataFrame) -> pd.DataFrame:
@@ -353,14 +319,14 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
 
     def verify_group(g: pd.DataFrame) -> pd.DataFrame:
         # both halves of a pair land here; sort reunites them (side 0, 1).
-        # A pair found in several LSH bands arrives several times with
-        # IDENTICAL halves — the global pair-dedup happens here, riding
-        # this shuffle instead of needing one of its own.
+        # A pair generated by several index buckets arrives several times
+        # with IDENTICAL halves — the global pair-dedup happens here,
+        # riding this shuffle instead of needing one of its own.
         g = g.drop_duplicates(["doc_a", "doc_b", "side"]).sort_values(
             ["doc_a", "doc_b", "side"], kind="stable"
         )
         if not len(g):
-            return EMPTY
+            return _PAIRS_EMPTY
         a = g.doc_a.to_numpy()[0::2]
         b = g.doc_b.to_numpy()[0::2]
         ta = g.text.to_numpy()[0::2]
@@ -370,12 +336,12 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
         def sh(doc, text):
             s = cache.get(doc)
             if s is None:
-                s = cache[doc] = dd.char_shingles(text)
+                s = cache[doc] = shingle_fn(text)
             return s
 
         jac = np.round(
             np.array(
-                [dd.jaccard_u64(sh(x, tx), sh(y, ty)) for x, y, tx, ty in zip(a, b, ta, tb)]
+                [dd.jaccard_u64(sh(x, tx_), sh(y, ty_)) for x, y, tx_, ty_ in zip(a, b, ta, tb)]
             ),
             6,
         )
@@ -391,10 +357,225 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
         .to_pandas()
     )
     if not len(res):
-        return EMPTY
+        return _PAIRS_EMPTY
     res["doc_a"] = res.doc_a.astype(np.int64)
     res["doc_b"] = res.doc_b.astype(np.int64)
     return res.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# rows-only: minhash near-dup pairs (brute-force Jaccard parity oracle in
+# tests/test_neardup_parity.py)
+@query("q_minhash_neardup")
+def q_minhash_neardup(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
+    """MinHash+LSH near-dup, fully distributed (nothing corpus- or
+    candidate-scale ever reaches the driver):
+
+    1. shingle→minhash→band keys (vectorized ``MinHashStage``, exploded
+       one row per (doc, band));
+    2. shuffle on a COARSE super-group of the band bucket with vectorized
+       run-length pair generation inside (the same pattern as
+       ``q_phash_neardup`` — per-bucket map_groups and the native join
+       were measured 10-40x slower), per-group pair dedup;
+    3. exact char-shingle-Jaccard verification via the shared
+       ``verify_pairs_jaccard`` tail (two super-group shuffles, global
+       pair-dedup riding the second, no driver broadcast or barrier).
+
+    Super-group fan-out is derived from the documents row count
+    (``ops.derive_num_groups``), not pinned at 64.
+    """
+    from .ops import derive_num_blocks, derive_num_groups
+
+    nd = _nrows(sf_dir, "documents")
+    # spread the (often single-file) docs table across blocks so the
+    # minhash stage parallelizes instead of running as one task
+    docs = rd.read_parquet(
+        _t(sf_dir, "documents"),
+        columns=["doc_id", "text"],
+        override_num_blocks=derive_num_blocks(nd, target_rows=2048),
+    )
+    ng = derive_num_groups(nd)
+    # task pool (instance, not class): the stage's only state is the tiny
+    # seeded hash family — elastic tasks beat a fixed 4-slot actor pool
+    bands = docs.map_batches(
+        dd.MinHashStage(), batch_format="pandas", batch_size=256
+    )
+
+    def band_key(df: pd.DataFrame) -> pd.DataFrame:
+        bkey = dd.mix_band_key(df.band_hash.to_numpy(), df.band.to_numpy())
+        return pd.DataFrame(
+            {"doc_id": df.doc_id, "bkey": bkey, "_sg": dd.supergroup_of(bkey, ng)}
+        )
+
+    def pairs_in_supergroup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["bkey", "doc_id"], kind="stable").reset_index(drop=True)
+        A, B = dd.bucket_pair_indices(g.bkey.to_numpy())
+        if not len(A):
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        ids = g.doc_id.to_numpy()
+        out = pd.DataFrame({"doc_a": ids[A], "doc_b": ids[B]})
+        return out.drop_duplicates(["doc_a", "doc_b"])
+
+    keyed = bands.map_batches(band_key, batch_format="pandas")
+    pairs = keyed.groupby("_sg").map_groups(pairs_in_supergroup, batch_format="pandas")
+    return verify_pairs_jaccard(pairs, docs, ng, threshold, dd.char_shingles)
+
+
+@query(
+    "q_ngram_jaccard",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER)+1] || ' ' ||
+               ws[CAST(i AS INTEGER)+2] AS g
+        FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)
+    ),
+    df AS (SELECT g, COUNT(*) AS dfc FROM grams GROUP BY g),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM grams a JOIN grams b USING (g) JOIN df USING (g)
+        WHERE a.doc_id < b.doc_id AND df.dfc <= 50
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+        FROM cand c JOIN grams ga ON ga.doc_id = c.doc_a
+                    JOIN grams gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 6) AS jaccard
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+                 JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE ROUND(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 6) >= 0.5
+    ORDER BY i.doc_a, i.doc_b
+    """,
+)
+def q_ngram_jaccard(sf_dir: str, threshold: float = 0.5, df_cap: int = 50) -> pd.DataFrame:
+    """EXACT word-3-gram Jaccard near-dup — the deterministic sibling of
+    MinHash (no LSH approximation, hence fully SQL-checkable):
+
+    1. explode each doc into its DISTINCT word-3-gram ids. Hashing is
+       batch-vectorized: grams are factorized batch-wide and each unique
+       gram is FNV-hashed once (``dedup._stable_token_ids`` — numpy
+       passes per byte position, no per-gram Python hashing);
+    2. inverted-index candidate generation on the super-group shuffle of
+       the gram id with a DOCUMENT-FREQUENCY CAP: grams shared by more
+       than ``df_cap`` docs are dropped before pair expansion (a hot
+       shingle generates df^2 pairs and carries ~no signal — this is
+       what keeps the index sub-quadratic at corpus scale; the SQL twin
+       applies the same cap). A pair is a candidate iff it shares >= 1
+       sub-cap gram — per-gram df is exact because all postings of one
+       gram hash into the same super-group;
+    3. exact Jaccard over the full (uncapped) gram sets via the shared
+       distributed ``verify_pairs_jaccard`` tail, threshold on the
+       6-dp-rounded value exactly as the SQL twin does.
+    """
+    from .ops import derive_num_blocks, derive_num_groups
+
+    nd = _nrows(sf_dir, "documents")
+    docs = rd.read_parquet(
+        _t(sf_dir, "documents"),
+        columns=["doc_id", "text"],
+        override_num_blocks=derive_num_blocks(nd, target_rows=2048),
+    )
+    ng = derive_num_groups(nd)
+
+    GRAM_EMPTY = pd.DataFrame(
+        {
+            "doc_id": pd.array([], dtype=np.int64),
+            "gid": pd.array([], dtype=np.int64),
+            "_sg": pd.array([], dtype=np.int64),
+        }
+    )
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        grams_all: list[str] = []
+        doc_rep: list[int] = []
+        for doc_id, text in zip(df.doc_id.to_numpy(), df.text.fillna("").to_numpy()):
+            gs = dd.word_ngram_list(text)
+            grams_all.extend(gs)
+            doc_rep.extend([doc_id] * len(gs))
+        if not grams_all:
+            return GRAM_EMPTY
+        codes, uniq = pd.factorize(np.array(grams_all, dtype=object))
+        gid = dd._stable_token_ids(uniq)[codes].astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(doc_rep, dtype=np.int64),
+                "gid": gid,
+                "_sg": dd.supergroup_of(gid, ng),
+            }
+        )
+
+    def pairs_in_supergroup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["gid", "doc_id"], kind="stable").reset_index(drop=True)
+        keys = g.gid.to_numpy()
+        # df-cap on the sorted runs (keys are grouped, so run lengths ==
+        # exact per-gram document frequency within this super-group ==
+        # GLOBAL df, because a gram's postings all hash here)
+        _, counts = np.unique(keys, return_counts=True)
+        keep = np.repeat(counts <= df_cap, counts)
+        g = g[keep]
+        A, B = dd.bucket_pair_indices(g.gid.to_numpy())
+        if not len(A):
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        ids = g.doc_id.to_numpy()
+        out = pd.DataFrame({"doc_a": ids[A], "doc_b": ids[B]})
+        return out.drop_duplicates(["doc_a", "doc_b"])
+
+    postings = docs.map_batches(explode, batch_format="pandas", batch_size=512)
+    pairs = postings.groupby("_sg").map_groups(pairs_in_supergroup, batch_format="pandas")
+    return verify_pairs_jaccard(pairs, docs, ng, threshold, dd.word_ngram_ids)
+
+
+@query(
+    "q_bottomk_sample",
+    """
+    SELECT doc_id, n_chars FROM (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 100
+    ) ORDER BY doc_id
+    """,
+)
+def q_bottomk_sample(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Deterministic FIXED-SIZE sample: the k docs with the smallest
+    md5(doc_id) — an order-statistics (bottom-k) sample. Unlike the
+    rate-based ``q_sample_split`` this guarantees exactly k rows
+    regardless of corpus size, is partition-invariant (pure function of
+    the key set), and union-mergeable: bottom-k of a union is bottom-k
+    of the concatenated per-part bottom-ks, so each batch emits at most
+    k rows and the driver merge holds <= k x num_blocks rows — never
+    the corpus. md5 (not FNV) so the DuckDB twin recomputes the same
+    order; ties are impossible (distinct ids -> distinct digests)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def partial_bottomk(df: pd.DataFrame) -> pd.DataFrame:
+        hx = np.array(
+            [hashlib.md5(str(int(i)).encode()).hexdigest() for i in df.doc_id.to_numpy()],
+            dtype=object,
+        )
+        if len(hx) > k:
+            idx = np.argsort(hx, kind="stable")[:k]
+        else:
+            idx = np.arange(len(hx))
+        return pd.DataFrame(
+            {
+                "doc_id": df.doc_id.to_numpy()[idx].astype(np.int64),
+                "n_chars": df.n_chars.to_numpy()[idx].astype(np.int64),
+                "_h": hx[idx],
+            }
+        )
+
+    parts = ds.map_batches(partial_bottomk, batch_format="pandas").to_pandas()
+    out = parts.sort_values("_h", kind="stable").head(k).drop(columns="_h")
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 @query(

@@ -211,3 +211,73 @@ class TestPairGenCore:
             results.append(out)
         pd.testing.assert_frame_equal(results[0], results[1])
         pd.testing.assert_frame_equal(results[0], results[2])
+
+
+class TestNgramJaccardParity:
+    def test_matches_bruteforce(self, ray_session):
+        """Exact inverted-index path == driver all-pairs word-3-gram Jaccard
+        (the df-cap can only DROP candidates; at this scale no gram exceeds
+        it, so the index must be exhaustive)."""
+        from citygml2objv2_ray import dedup as dd
+
+        got = _registry()["q_ngram_jaccard"](SF)
+
+        docs = (
+            pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        grams = [set(dd.word_ngram_list(t)) for t in docs.text.fillna("")]
+        ids = docs.doc_id.to_numpy()
+        rows = []
+        for a in range(len(ids)):
+            for b in range(a + 1, len(ids)):
+                ga, gb = grams[a], grams[b]
+                if not ga or not gb:
+                    continue
+                inter = len(ga & gb)
+                if not inter:
+                    continue
+                j = round(inter / (len(ga) + len(gb) - inter), 6)
+                if j >= 0.5:
+                    rows.append((int(ids[a]), int(ids[b]), j))
+        want = (
+            pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        assert len(want) > 0, "fixture should contain designed near-dups"
+        want["doc_a"] = want.doc_a.astype(np.int64)
+        want["doc_b"] = want.doc_b.astype(np.int64)
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+    def test_word_ngram_list_semantics(self):
+        from citygml2objv2_ray import dedup as dd
+
+        assert dd.word_ngram_list("one two") == []
+        assert dd.word_ngram_list("A b c") == ["a b c"]
+        assert dd.word_ngram_list("a b c a b c") == ["a b c", "b c a", "c a b"]
+        ids = dd.word_ngram_ids("a b c d")
+        assert len(ids) == 2 and np.all(np.diff(ids.astype(np.uint64)) > 0)
+
+
+class TestBottomkSample:
+    def test_exact_and_partition_invariant(self, ray_session):
+        """Bottom-k == driver-side sort by md5(doc_id); identical result
+        regardless of read block count (union-mergeability)."""
+        import hashlib
+
+        import ray.data as rd
+
+        got = _registry()["q_bottomk_sample"](SF)
+        docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "n_chars"]).to_pandas()
+        docs["_h"] = [hashlib.md5(str(int(i)).encode()).hexdigest() for i in docs.doc_id]
+        want = (
+            docs.sort_values("_h").head(100).drop(columns="_h")
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        want["doc_id"] = want.doc_id.astype(np.int64)
+        want["n_chars"] = want.n_chars.astype(np.int64)
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+        assert len(got) == 100
