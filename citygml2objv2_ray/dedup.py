@@ -401,3 +401,62 @@ def hyperplane_buckets(vecs: np.ndarray, n_planes: int = 12, seed: int = 11) -> 
     signs = (np.asarray(vecs, dtype=np.float64) @ planes) > 0
     weights = (1 << np.arange(n_planes)).astype(np.int64)
     return (signs @ weights).astype(np.int64)
+
+
+def synth_documents(
+    out_dir: str,
+    n: int = 300_000,
+    vocab: int = 4096,
+    words_per_doc: int = 40,
+    dup_rate: float = 0.01,
+    seed: int = 11,
+) -> str:
+    """Deterministic synthetic text corpus for the near-dup SCALE demo
+    (cached under ``out_dir`` keyed by params, same pattern as
+    ``ann.synth_embeddings``). The last ``round(n*dup_rate)`` docs are
+    near-copies of uniformly chosen earlier docs with 2 of
+    ``words_per_doc`` words resubstituted — a sparse planted pair set
+    (char-shingle Jaccard ≈ 0.8–0.9, well above the 0.6 demo threshold)
+    over an otherwise-random background whose cross-doc Jaccard is ~0.
+    Written in 4096-row row groups so Ray splits the read."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(
+        out_dir, f"docs-n{n}-v{vocab}-w{words_per_doc}-d{dup_rate}-s{seed}-v1.parquet"
+    )
+    if os.path.exists(path):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    lens = rng.integers(4, 9, size=vocab)
+    letters = rng.integers(97, 123, size=(vocab, 8), dtype=np.uint8)
+    words = np.array(
+        [bytes(letters[i, : lens[i]]).decode() for i in range(vocab)], dtype=object
+    )
+    n_dup = int(round(n * dup_rate))
+    n_base = n - n_dup
+    idx = rng.integers(0, vocab, size=(n, words_per_doc))
+    src = rng.integers(0, n_base, size=n_dup)
+    idx[n_base:] = idx[src]
+    mut_pos = rng.integers(0, words_per_doc, size=(n_dup, 2))
+    rows = np.arange(n_base, n)
+    for j in range(2):
+        idx[rows, mut_pos[:, j]] = rng.integers(0, vocab, size=n_dup)
+    texts = [" ".join(row) for row in words[idx]]
+    tab = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+            # planted lineage (NOT read by the pipeline — pytest ground truth)
+            "src_id": pa.array(
+                np.concatenate([np.full(n_base, -1, np.int64), src.astype(np.int64)])
+            ),
+        }
+    )
+    tmp = path + ".tmp"
+    pq.write_table(tab, tmp, row_group_size=4096)
+    os.replace(tmp, path)
+    return path

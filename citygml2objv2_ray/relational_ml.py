@@ -363,12 +363,12 @@ def verify_pairs_jaccard(
     return res.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
-# rows-only: minhash near-dup pairs (brute-force Jaccard parity oracle in
-# tests/test_neardup_parity.py)
-@query("q_minhash_neardup")
-def q_minhash_neardup(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
-    """MinHash+LSH near-dup, fully distributed (nothing corpus- or
-    candidate-scale ever reaches the driver):
+def minhash_neardup_pairs(
+    docs: rd.Dataset, nd: int, threshold: float = 0.6
+) -> pd.DataFrame:
+    """MinHash+LSH near-dup core over any ``(doc_id, text)`` dataset,
+    fully distributed (nothing corpus- or candidate-scale ever reaches
+    the driver):
 
     1. shingle→minhash→band keys (vectorized ``MinHashStage``, exploded
        one row per (doc, band));
@@ -380,19 +380,11 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
        ``verify_pairs_jaccard`` tail (two super-group shuffles, global
        pair-dedup riding the second, no driver broadcast or barrier).
 
-    Super-group fan-out is derived from the documents row count
+    Super-group fan-out is derived from the corpus row count ``nd``
     (``ops.derive_num_groups``), not pinned at 64.
     """
-    from .ops import derive_num_blocks, derive_num_groups
+    from .ops import derive_num_groups
 
-    nd = _nrows(sf_dir, "documents")
-    # spread the (often single-file) docs table across blocks so the
-    # minhash stage parallelizes instead of running as one task
-    docs = rd.read_parquet(
-        _t(sf_dir, "documents"),
-        columns=["doc_id", "text"],
-        override_num_blocks=derive_num_blocks(nd, target_rows=2048),
-    )
     ng = derive_num_groups(nd)
     # task pool (instance, not class): the stage's only state is the tiny
     # seeded hash family — elastic tasks beat a fixed 4-slot actor pool
@@ -418,6 +410,26 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
     keyed = bands.map_batches(band_key, batch_format="pandas")
     pairs = keyed.groupby("_sg").map_groups(pairs_in_supergroup, batch_format="pandas")
     return verify_pairs_jaccard(pairs, docs, ng, threshold, dd.char_shingles)
+
+
+# rows-only: minhash near-dup pairs (brute-force Jaccard parity oracle in
+# tests/test_neardup_parity.py)
+@query("q_minhash_neardup")
+def q_minhash_neardup(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
+    """MinHash+LSH near-dup over the driver ``documents`` table — see
+    ``minhash_neardup_pairs`` for the distributed plan (the bench scale
+    demo runs the same core over a synthetic 300k-doc corpus)."""
+    from .ops import derive_num_blocks
+
+    nd = _nrows(sf_dir, "documents")
+    # spread the (often single-file) docs table across blocks so the
+    # minhash stage parallelizes instead of running as one task
+    docs = rd.read_parquet(
+        _t(sf_dir, "documents"),
+        columns=["doc_id", "text"],
+        override_num_blocks=derive_num_blocks(nd, target_rows=2048),
+    )
+    return minhash_neardup_pairs(docs, nd, threshold)
 
 
 @query(

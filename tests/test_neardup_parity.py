@@ -281,3 +281,38 @@ class TestBottomkSample:
         want["n_chars"] = want.n_chars.astype(np.int64)
         pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
         assert len(got) == 100
+
+
+class TestSynthDocumentsScaleDemo:
+    """The bench scale demo's corpus generator: deterministic, cached, and
+    its planted near-dup pairs are fully recovered by the distributed
+    MinHash plan (recall 1.0 expected at J≈0.85 with 16x4 LSH bands)."""
+
+    def test_deterministic_and_planted_pairs_recovered(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from citygml2objv2_ray import dedup as dd
+        from citygml2objv2_ray.ops import derive_num_blocks
+        from citygml2objv2_ray.relational_ml import minhash_neardup_pairs
+
+        p1 = dd.synth_documents(str(tmp_path / "a"), n=2000, dup_rate=0.02)
+        p2 = dd.synth_documents(str(tmp_path / "b"), n=2000, dup_rate=0.02)
+        t1, t2 = pq.read_table(p1), pq.read_table(p2)
+        assert t1.equals(t2)  # deterministic across directories
+        truth = t1.to_pandas()
+        dup = truth[truth.src_id >= 0]
+        planted = {
+            (min(a, b), max(a, b)) for a, b in zip(dup.doc_id, dup.src_id)
+        }
+        assert len(planted) == 40
+        docs = rd.read_parquet(
+            p1,
+            columns=["doc_id", "text"],
+            override_num_blocks=derive_num_blocks(2000, target_rows=512),
+        )
+        pairs = minhash_neardup_pairs(docs, 2000, threshold=0.6)
+        found = set(zip(pairs.doc_a, pairs.doc_b))
+        assert planted <= found  # every planted pair recovered
+        # background false positives are possible only via real Jaccard
+        # >= 0.6 coincidences; verify any extras are genuine
+        assert (pairs.jaccard >= 0.6).all()
