@@ -219,13 +219,13 @@ _PAIRS_EMPTY = pd.DataFrame(
 )
 
 
-def verify_pairs_jaccard(
+def verify_pairs_jaccard_ds(
     pairs: rd.Dataset,
     docs: rd.Dataset,
     ng: int,
     threshold: float,
     shingle_fn,
-) -> pd.DataFrame:
+) -> rd.Dataset:
     """Distributed exact-Jaccard verification of candidate pairs — the
     shared tail of every text near-dup query (MinHash LSH, exact n-gram
     index). Nothing corpus- or candidate-scale ever reaches the driver:
@@ -350,12 +350,23 @@ def verify_pairs_jaccard(
         )
         return out[out.jaccard >= threshold]
 
-    res = (
+    return (
         halves_txt.map_batches(pair_group_key, batch_format="pandas")
         .groupby("_pg")
         .map_groups(verify_group, batch_format="pandas")
-        .to_pandas()
     )
+
+
+def verify_pairs_jaccard(
+    pairs: rd.Dataset,
+    docs: rd.Dataset,
+    ng: int,
+    threshold: float,
+    shingle_fn,
+) -> pd.DataFrame:
+    """Collecting wrapper over ``verify_pairs_jaccard_ds`` (kept-pair
+    results are candidate-sparse, so the collect is small by design)."""
+    res = verify_pairs_jaccard_ds(pairs, docs, ng, threshold, shingle_fn).to_pandas()
     if not len(res):
         return _PAIRS_EMPTY
     res["doc_a"] = res.doc_a.astype(np.int64)
@@ -432,10 +443,10 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
     return minhash_neardup_pairs(docs, nd, threshold)
 
 
-@query(
-    "q_ngram_jaccard",
-    """
-    WITH toks AS (
+# word-3-gram exact-Jaccard pair CTE chain, shared by the q_ngram_jaccard
+# oracle and the connected-components oracle built on its pair graph
+_NGRAM_PAIRS_CTES = """
+    toks AS (
         SELECT doc_id,
                list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
         FROM documents
@@ -446,11 +457,11 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
                ws[CAST(i AS INTEGER)+2] AS g
         FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)
     ),
-    df AS (SELECT g, COUNT(*) AS dfc FROM grams GROUP BY g),
+    dfreq AS (SELECT g, COUNT(*) AS dfc FROM grams GROUP BY g),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM grams a JOIN grams b USING (g) JOIN df USING (g)
-        WHERE a.doc_id < b.doc_id AND df.dfc <= 50
+        FROM grams a JOIN grams b USING (g) JOIN dfreq USING (g)
+        WHERE a.doc_id < b.doc_id AND dfreq.dfc <= 50
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
     inter AS (
@@ -458,16 +469,19 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
         FROM cand c JOIN grams ga ON ga.doc_id = c.doc_a
                     JOIN grams gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
         GROUP BY c.doc_a, c.doc_b
-    )
-    SELECT i.doc_a, i.doc_b,
-           ROUND(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 6) AS jaccard
-    FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
-                 JOIN sizes sb ON sb.doc_id = i.doc_b
-    WHERE ROUND(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 6) >= 0.5
-    ORDER BY i.doc_a, i.doc_b
-    """,
-)
-def q_ngram_jaccard(sf_dir: str, threshold: float = 0.5, df_cap: int = 50) -> pd.DataFrame:
+    ),
+    njpairs AS (
+        SELECT i.doc_a, i.doc_b,
+               ROUND(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 6) AS jaccard
+        FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+                     JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE ROUND(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 6) >= 0.5
+    )"""
+
+
+def ngram_jaccard_pairs_ds(
+    sf_dir: str, threshold: float = 0.5, df_cap: int = 50
+) -> tuple[rd.Dataset, int]:
     """EXACT word-3-gram Jaccard near-dup — the deterministic sibling of
     MinHash (no LSH approximation, hence fully SQL-checkable):
 
@@ -542,7 +556,73 @@ def q_ngram_jaccard(sf_dir: str, threshold: float = 0.5, df_cap: int = 50) -> pd
 
     postings = docs.map_batches(explode, batch_format="pandas", batch_size=512)
     pairs = postings.groupby("_sg").map_groups(pairs_in_supergroup, batch_format="pandas")
-    return verify_pairs_jaccard(pairs, docs, ng, threshold, dd.word_ngram_ids)
+    return verify_pairs_jaccard_ds(pairs, docs, ng, threshold, dd.word_ngram_ids), nd
+
+
+@query(
+    "q_ngram_jaccard",
+    f"""
+    WITH {_NGRAM_PAIRS_CTES}
+    SELECT doc_a, doc_b, jaccard FROM njpairs ORDER BY doc_a, doc_b
+    """,
+)
+def q_ngram_jaccard(sf_dir: str, threshold: float = 0.5, df_cap: int = 50) -> pd.DataFrame:
+    """Collected ``ngram_jaccard_pairs_ds`` (kept pairs are sparse)."""
+    res = ngram_jaccard_pairs_ds(sf_dir, threshold, df_cap)[0].to_pandas()
+    if not len(res):
+        return _PAIRS_EMPTY
+    res["doc_a"] = res.doc_a.astype(np.int64)
+    res["doc_b"] = res.doc_b.astype(np.int64)
+    return res.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+@query(
+    "q_dup_components",
+    f"""
+    WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM njpairs
+        UNION SELECT doc_b, doc_a FROM njpairs
+    ),
+    walk(u, label) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT e.u, w.label FROM edges e JOIN walk w ON w.u = e.v
+    ),
+    comp AS (
+        SELECT u AS doc_id, LEAST(u, MIN(label)) AS component_id
+        FROM walk GROUP BY u
+    )
+    SELECT c.doc_id, c.component_id, CAST(s.n AS BIGINT) AS component_size
+    FROM comp c JOIN (
+        SELECT component_id, COUNT(*) AS n FROM comp GROUP BY component_id
+    ) s USING (component_id)
+    ORDER BY c.doc_id
+    """,
+)
+def q_dup_components(sf_dir: str, threshold: float = 0.5, df_cap: int = 50) -> pd.DataFrame:
+    """Duplicate CLUSTERS, not just pairs: distributed connected
+    components (hash-to-min label propagation, ``graph.connected_
+    components``) over the exact n-gram-Jaccard near-dup pair graph.
+    Each doc in the pair graph gets its component's canonical id (the
+    component-minimum doc_id) and the component size — the "keep one per
+    cluster" primitive of a dedup pipeline. SQL-checked against a DuckDB
+    recursive-CTE reachability walk over the identical pair CTEs."""
+    from . import graph
+
+    pairs_ds, nd = ngram_jaccard_pairs_ds(sf_dir, threshold, df_cap)
+    out = graph.connected_components(pairs_ds, nd).to_pandas()
+    if not len(out):
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array([], dtype=np.int64),
+                "component_id": pd.array([], dtype=np.int64),
+                "component_size": pd.array([], dtype=np.int64),
+            }
+        )
+    sizes = out.groupby("component_id")["doc_id"].transform("size")
+    out = out.assign(component_size=sizes.astype(np.int64))
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 @query(
