@@ -216,8 +216,9 @@ class TestPairGenCore:
 class TestNgramJaccardParity:
     def test_matches_bruteforce(self, ray_session):
         """Exact inverted-index path == driver all-pairs word-3-gram Jaccard
-        (the df-cap can only DROP candidates; at this scale no gram exceeds
-        it, so the index must be exhaustive)."""
+        over pairs sharing >= 2 grams (the query's candidate rule; the
+        df-cap can only DROP candidates and at this scale no gram exceeds
+        it, so the index must be exhaustive over that rule)."""
         from citygml2objv2_ray import dedup as dd
 
         got = _registry()["q_ngram_jaccard"](SF)
@@ -237,7 +238,7 @@ class TestNgramJaccardParity:
                 if not ga or not gb:
                     continue
                 inter = len(ga & gb)
-                if not inter:
+                if inter < 2:
                     continue
                 j = round(inter / (len(ga) + len(gb) - inter), 6)
                 if j >= 0.5:
