@@ -217,3 +217,119 @@ def q_topk_per_group(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(
         ["o_orderpriority", "o_totalprice", "o_orderkey"], ascending=[True, False, True]
     ).reset_index(drop=True)
+
+
+@query(
+    "q_heavy_hitters",
+    """
+    WITH words AS (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> x <> '')) AS term
+        FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM words)
+    SELECT term, COUNT(*) AS cnt
+    FROM words, tot
+    GROUP BY term, tot.n
+    HAVING COUNT(*) >= CAST(ceil(0.005 * tot.n) AS BIGINT)
+    ORDER BY cnt DESC, term
+    """,
+)
+def q_heavy_hitters(sf_dir: str, phi: float = 0.005) -> pd.DataFrame:
+    """EXACT frequent terms (frequency >= ceil(phi * total tokens)) via
+    the scalable two-pass heavy-hitter pattern — no full term-frequency
+    shuffle at any point, unlike ``q_term_counts_salted``:
+
+    1. candidate pass: per-block Misra-Gries summaries (k = ceil(1/phi)
+       counters, ``sketch.mg_summarize``) tree-merged through one coarse
+       shuffle; the MG guarantee makes the merged counter set a SUPERSET
+       of every term with true frequency > total/(k+1) <= phi*total, so
+       no true heavy hitter can be missed. Block token totals ride the
+       same rows (kind=1).
+    2. exact pass: per-block exact counts restricted to the <= k
+       candidates (tiny closure broadcast), summed by ``supergroup_agg``
+       and thresholded — so the OUTPUT is exact (== the SQL GROUP
+       BY/HAVING), while per-block state stays O(k) and the shuffles
+       move O(k) rows per block.
+    """
+    import math
+
+    from . import sketch
+    from .ops import supergroup_agg
+
+    k = int(math.ceil(1.0 / phi))
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _tokens(df: pd.DataFrame) -> pd.Series:
+        return df.text.fillna("").str.lower().str.split().explode().dropna()
+
+    def block_summary(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(df)
+        vc = toks.value_counts()
+        t, c = sketch.mg_summarize(
+            vc.index.to_numpy(dtype=object), vc.to_numpy(), k
+        )
+        # deterministic content-keyed tree-merge bucket (min doc id is
+        # uniform over blocks; the top TERM would funnel every block's
+        # summary into one group)
+        mg_key = int(
+            sketch.hash_values(np.array([int(df.doc_id.min())]))[0] % np.uint64(64)
+        )
+        return pd.DataFrame(
+            {
+                "term": np.concatenate([t.astype(object), np.array([""], object)]),
+                "cnt": np.concatenate([c, [len(toks)]]).astype(np.int64),
+                "kind": np.concatenate(
+                    [np.zeros(len(t), np.int8), np.array([1], np.int8)]
+                ),
+                "_mg": np.full(len(t) + 1, mg_key, np.int64),
+            }
+        )
+
+    def merge_summaries(g: pd.DataFrame) -> pd.DataFrame:
+        tot = int(g.loc[g.kind == 1, "cnt"].sum())
+        mg = g[g.kind == 0].groupby("term", as_index=False)["cnt"].sum()
+        t, c = sketch.mg_summarize(mg.term.to_numpy(), mg.cnt.to_numpy(), k)
+        return pd.DataFrame(
+            {
+                "term": np.concatenate([t.astype(object), np.array([""], object)]),
+                "cnt": np.concatenate([c, [tot]]).astype(np.int64),
+                "kind": np.concatenate(
+                    [np.zeros(len(t), np.int8), np.array([1], np.int8)]
+                ),
+            }
+        )
+
+    merged = (
+        ds.map_batches(block_summary, batch_format="pandas", batch_size=512)
+        .groupby("_mg")
+        .map_groups(merge_summaries, batch_format="pandas")
+        .to_pandas()  # bounded: <= 64 groups x (k+1) rows
+    )
+    n_total = int(merged.loc[merged.kind == 1, "cnt"].sum())
+    mg = merged[merged.kind == 0].groupby("term", as_index=False)["cnt"].sum()
+    cand_t, _ = sketch.mg_summarize(mg.term.to_numpy(), mg.cnt.to_numpy(), k)
+    cand = frozenset(cand_t.tolist())
+    thresh = int(math.ceil(phi * n_total))
+
+    def exact_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(df)
+        vc = toks[toks.isin(cand)].value_counts()
+        return pd.DataFrame(
+            {
+                "term": pd.array(vc.index.to_numpy(dtype=object), dtype=object),
+                "cnt": vc.to_numpy().astype(np.int64),
+            }
+        )
+
+    def exact_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("term", as_index=False)["cnt"].sum()
+
+    exact = supergroup_agg(
+        ds, ["term"], exact_partial, exact_merge, num_groups=16
+    ).to_pandas()
+    out = exact[exact.cnt >= thresh].sort_values(
+        ["cnt", "term"], ascending=[False, True]
+    ).reset_index(drop=True)
+    out["cnt"] = out.cnt.astype(np.int64)
+    return out[["term", "cnt"]]

@@ -100,3 +100,22 @@ def approx_distinct(ds: rd.Dataset, column: str, p: int = 12) -> float:
     for blob in parts.sketch:
         acc.merge(HLL.from_bytes(blob, p))
     return acc.estimate()
+
+
+def mg_summarize(
+    terms: np.ndarray, counts: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Misra-Gries reduction of an already-aggregated (term, count)
+    multiset to <= k counters (Misra & Gries 1982; the mergeable-summary
+    form of Agarwal et al., PODS 2012): if more than k distinct terms
+    remain, subtract the (k+1)-th largest count from every counter and
+    drop the non-positive ones. Counters only ever UNDERcount, by at
+    most the sum of all subtracted deltas (<= total/(k+1) per merge
+    tree), so any term with true frequency > total/(k+1) is guaranteed
+    to survive with a positive counter — the candidate-superset property
+    the exact second pass of the heavy-hitters query relies on."""
+    if len(terms) <= k:
+        return terms, counts
+    d = np.partition(counts, len(counts) - k - 1)[len(counts) - k - 1]
+    keep = counts > d
+    return terms[keep], counts[keep] - d

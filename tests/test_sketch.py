@@ -45,3 +45,51 @@ class TestHLL:
         ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
         est = approx_distinct(ds, "user_id")
         assert abs(est - exact) / exact < 0.03
+
+
+class TestHeavyHitters:
+    def test_mg_summarize_superset_guarantee(self):
+        """Any term with true frequency > total/(k+1) must survive the
+        reduction with a positive (under)count; counters never overcount."""
+        from citygml2objv2_ray.sketch import mg_summarize
+
+        rng = np.random.default_rng(5)
+        terms = np.array([f"t{i}" for i in range(5000)], dtype=object)
+        counts = rng.integers(1, 20, size=5000)
+        counts[:10] += 2000  # planted hitters
+        k = 50
+        t, c = mg_summarize(terms, counts, k)
+        assert len(t) <= k
+        total = counts.sum()
+        true = dict(zip(terms, counts))
+        kept = dict(zip(t, c))
+        for term, n in true.items():
+            if n > total / (k + 1):
+                assert term in kept and 0 < kept[term] <= n
+        for term, n in kept.items():
+            assert n <= true[term]  # undercount only
+
+    def test_query_exact_and_partition_invariant(self, ray_session):
+        """Output equals the exact GROUP BY/HAVING answer (brute force over
+        the corpus) — the MG pass may only affect candidate generation."""
+        import math
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from citygml2objv2_ray import relational, relational_stats  # noqa: F401
+
+        sf = "/root/testdata/sf0.001"
+        got = relational.REGISTRY["q_heavy_hitters"](sf)
+        docs = pq.read_table(f"{sf}/documents.parquet", columns=["text"]).to_pandas()
+        toks = docs.text.fillna("").str.lower().str.split().explode().dropna()
+        vc = toks.value_counts()
+        thresh = int(math.ceil(0.005 * len(toks)))
+        want = vc[vc >= thresh].reset_index()
+        want.columns = ["term", "cnt"]
+        want = want.sort_values(["cnt", "term"], ascending=[False, True]).reset_index(drop=True)
+        assert list(got.term) == list(want.term)
+        assert list(got.cnt.astype(int)) == list(want.cnt.astype(int))
+        # identical result again (block nondeterminism must not leak out)
+        again = relational.REGISTRY["q_heavy_hitters"](sf)
+        pd.testing.assert_frame_equal(got, again)
