@@ -206,3 +206,77 @@ def broadcast_semi_anti_filter(
         return batch.filter(mask)
 
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    by: str,
+    left_payload: list[str],
+    right_payload: list[str],
+    right_tiebreak: list[str] | None = None,
+    num_groups: int | None = None,
+    num_rows_hint: int | None = None,
+) -> rd.Dataset:
+    """Distributed backward as-of join (for each left row, the right row
+    with the greatest ``on`` <= left's ``on`` among equal ``by`` keys;
+    inner semantics — unmatched left rows are dropped). Ray Data has no
+    such operator; this is the map_batches + groupby().map_groups
+    composition the brief calls for.
+
+    Both inputs must expose the SAME ``on`` (int64/orderable) and ``by``
+    columns (rename upstream), a ``_side`` tag (0=left, 1=right), and the
+    FULL payload column set — pad the other side's payload with
+    type-stable sentinels upstream (they're dropped before the merge; the
+    padding only keeps the union's block schemas aligned). Payload column
+    sets must be disjoint and the first right payload column non-null.
+
+    Partitioning assumption (documented per the brief): every ``by`` key's
+    rows — BOTH sides — land in one hash super-group
+    (``hash(by) % num_groups``), so each group holds the full right-side
+    history for its keys. The per-group work is ONE vectorized
+    ``pandas.merge_asof`` across all keys in the group (a single O(n)
+    merge over two sorted frames, C-level ``by=`` matching — never a
+    per-key Python loop). The shuffle moves each row exactly once; no
+    driver-side materialization. A single pathologically hot ``by`` key
+    bounds one group's size; ``num_groups`` grows with input size
+    (``derive_num_groups``) so the expected group stays ~1 M rows.
+
+    On ``on``-ties within a key on the right side, the row with the
+    greatest ``right_tiebreak`` (default: ``right_payload``) tuple wins —
+    deterministic, and expressible in SQL as ``max``/``arg_max`` over a
+    (by, on) group for the oracle twin.
+    """
+    if num_groups is None:
+        num_groups = derive_num_groups(num_rows_hint)
+    tiebreak = list(right_tiebreak or right_payload)
+    cols = [by, on, *left_payload, *right_payload, "_side"]
+
+    def add_sg(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[by], index=False).to_numpy()
+        return df.assign(
+            _sg=(h.astype(np.uint64) % np.uint64(num_groups)).astype(np.int64)
+        )[[*cols, "_sg"]]
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g._side == 0]
+        rf = g[g._side == 1]
+        lf = lf[[on, by, *left_payload]].sort_values(on, kind="mergesort")
+        rf = rf[[on, by, *right_payload]].sort_values(
+            [on, *tiebreak], kind="mergesort"
+        )
+        rtypes = rf.dtypes[right_payload]
+        m = pd.merge_asof(
+            lf, rf, on=on, by=by, direction="backward", allow_exact_matches=True
+        )
+        # inner semantics: merge_asof left-joins with NaN fills; the first
+        # right payload column must be non-null by contract, so NaN there
+        # marks "no match". Restore the pre-NaN right dtypes after the drop.
+        m = m.dropna(subset=right_payload[:1])
+        return m.astype(dict(rtypes))
+
+    both = left.map_batches(add_sg, batch_format="pandas").union(
+        right.map_batches(add_sg, batch_format="pandas")
+    )
+    return both.groupby("_sg").map_groups(join_group, batch_format="pandas")

@@ -396,3 +396,73 @@ def q_embedding_neardup_lsh(sf_dir: str, threshold: float = 0.3) -> pd.DataFrame
     df["vec_a"] = df.vec_a.astype(np.int64)
     df["vec_b"] = df.vec_b.astype(np.int64)
     return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+@query(
+    "q_asof_join",
+    """
+    WITH o AS (
+        SELECT o_custkey, o_orderdate,
+               max(o_orderkey) AS o_orderkey,
+               arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+           o.o_orderkey, round(o.o_totalprice, 4) AS o_totalprice
+    FROM events e ASOF JOIN o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    ORDER BY e.event_id
+    """,
+)
+def q_asof_join(sf_dir: str) -> pd.DataFrame:
+    """As-of join: each event matched to the user's most recent order at
+    or before the event time (inner). Ray Data has no as-of operator;
+    ``ops.asof_join`` composes it from one hash-supergroup shuffle of both
+    sides + a single vectorized ``pandas.merge_asof`` per group (C-level
+    by-key backward merge — no per-key loop). Tie rule (several orders at
+    the same timestamp): greatest ``o_orderkey`` wins = the SQL twin's
+    ``max``/``arg_max`` dedup CTE."""
+    from .ops import asof_join
+    from .relational import _nrows
+
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"]
+    )
+
+    def pre_left(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df.user_id.to_numpy(np.int64),
+                "ts_us": df.ts.astype("datetime64[us]").astype(np.int64),
+                "event_id": df.event_id.to_numpy(np.int64),
+                "o_orderkey": np.full(len(df), -1, np.int64),
+                "o_totalprice": np.zeros(len(df), np.float64),
+                "_side": np.zeros(len(df), np.int8),
+            }
+        )
+
+    def pre_right(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df.o_custkey.to_numpy(np.int64),
+                "ts_us": df.o_orderdate.astype("datetime64[us]").astype(np.int64),
+                "event_id": np.full(len(df), -1, np.int64),
+                "o_orderkey": df.o_orderkey.to_numpy(np.int64),
+                "o_totalprice": df.o_totalprice.to_numpy(np.float64),
+                "_side": np.ones(len(df), np.int8),
+            }
+        )
+
+    joined = asof_join(
+        events.map_batches(pre_left, batch_format="pandas"),
+        orders.map_batches(pre_right, batch_format="pandas"),
+        on="ts_us",
+        by="user_id",
+        left_payload=["event_id"],
+        right_payload=["o_orderkey", "o_totalprice"],
+        num_rows_hint=_nrows(sf_dir, "events"),
+    )
+    df = joined.to_pandas().sort_values("event_id").reset_index(drop=True)
+    df["o_totalprice"] = df.o_totalprice.round(4)
+    return df[["event_id", "user_id", "ts_us", "o_orderkey", "o_totalprice"]]
