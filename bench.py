@@ -118,6 +118,8 @@ def run_bench() -> dict:
         "q_simhash",
         "q_ngram_jaccard",
         "q_bottomk_sample",
+        "q_heavy_hitters",
+        "q_asof_join",
     ]:
         fn = relational.REGISTRY[name]
         t0 = time.perf_counter()

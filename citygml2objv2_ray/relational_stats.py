@@ -255,10 +255,18 @@ def q_heavy_hitters(sf_dir: str, phi: float = 0.005) -> pd.DataFrame:
     import math
 
     from . import sketch
-    from .ops import supergroup_agg
+    from .ops import derive_num_blocks, supergroup_agg
+    from .relational import _nrows, _t
 
     k = int(math.ceil(1.0 / phi))
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = _nrows(sf_dir, "documents")
+    # coalesced read: both passes end in a shuffle, and Ray's sort pays a
+    # per-(input-block x partition) slice cost on fragmented reads
+    ds = rd.read_parquet(
+        _t(sf_dir, "documents"),
+        columns=["doc_id", "text"],
+        override_num_blocks=derive_num_blocks(n_docs, target_rows=512),
+    )
 
     def _tokens(df: pd.DataFrame) -> pd.Series:
         return df.text.fillna("").str.lower().str.split().explode().dropna()
