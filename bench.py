@@ -120,6 +120,7 @@ def run_bench() -> dict:
         "q_bottomk_sample",
         "q_heavy_hitters",
         "q_asof_join",
+        "q_tfidf_top_terms",
     ]:
         fn = relational.REGISTRY[name]
         t0 = time.perf_counter()

@@ -476,3 +476,146 @@ def q_asof_join(sf_dir: str) -> pd.DataFrame:
     df = joined.to_pandas().sort_values("event_id").reset_index(drop=True)
     df["o_totalprice"] = df.o_totalprice.round(4)
     return df[["event_id", "user_id", "ts_us", "o_orderkey", "o_totalprice"]]
+
+
+@query(
+    "q_tfidf_top_terms",
+    """
+    WITH words AS (
+        SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                          x -> x <> '')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS raw
+        FROM tf JOIN df USING (term), n
+    ),
+    ranked AS (
+        SELECT doc_id, term, raw,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY raw DESC, term) AS rk
+        FROM scored
+    )
+    SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, round(raw, 6) AS score
+    FROM ranked WHERE rk <= 3
+    ORDER BY doc_id, rk
+    """,
+)
+def q_tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Per-document top-3 TF-IDF terms (idf = ln(N/df)) — the relevance /
+    quality-feature op of a training-data pipeline, built from the two
+    shuffles the computation inherently needs (tf is doc-local; df is
+    term-global; the final top-k is doc-local again):
+
+    1. tf: explode + count per (doc, term) INSIDE each batch — a document
+       lives wholly in one input row, so tf needs no shuffle and the
+       (doc_id, term) rows it emits are globally unique.
+    2. df: per-batch partial term counts over those unique rows, summed by
+       a term-keyed super-group shuffle (``supergroup_agg``) — the shuffle
+       moves one row per distinct term per batch, never the corpus.
+    3. score join: tf rows and df rows shuffled ONCE by term super-group
+       and merged vectorized in-group (pandas merge per ~uniform hash
+       bucket; no broadcast — at 100 TB the vocabulary doesn't fit a
+       driver-side dict).
+    4. top-3: one doc-keyed super-group shuffle, vectorized
+       sort + groupby.head(3) across all docs in the group.
+
+    Ties rank by term asc; scores round(6) in both engines AFTER ranking.
+    """
+    from .ops import derive_num_blocks, derive_num_groups, supergroup_agg
+    from .relational import _nrows, _t
+
+    n_docs = _nrows(sf_dir, "documents")
+    num_groups = derive_num_groups(n_docs)
+    ds = rd.read_parquet(
+        _t(sf_dir, "documents"),
+        columns=["doc_id", "text"],
+        override_num_blocks=derive_num_blocks(n_docs, target_rows=512),
+    )
+
+    def tf_batch(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df.set_index("doc_id").text.fillna("").str.lower().str.split().explode().dropna()
+        out = (
+            toks.rename("term").reset_index().groupby(["doc_id", "term"], sort=False)
+            .size().rename("tf").reset_index()
+        )
+        return out
+
+    tf = ds.map_batches(tf_batch, batch_format="pandas")
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # (doc_id, term) rows are globally unique -> per-batch row count
+        # per term is a valid additive partial of COUNT(DISTINCT doc_id)
+        return df.groupby("term", sort=False).size().rename("df").reset_index()
+
+    def df_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("term", sort=False, as_index=False)["df"].sum()
+
+    dfreq = supergroup_agg(tf, ["term"], df_partial, df_merge, num_groups=num_groups)
+
+    def tag_tf(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df.term, index=False).to_numpy()
+        return pd.DataFrame(
+            {
+                "term": df.term,
+                "doc_id": df.doc_id.to_numpy(np.int64),
+                "tf": df.tf.to_numpy(np.int64),
+                "df": np.full(len(df), -1, np.int64),
+                "_sg": (h.astype(np.uint64) % np.uint64(num_groups)).astype(np.int64),
+            }
+        )
+
+    def tag_df(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df.term, index=False).to_numpy()
+        return pd.DataFrame(
+            {
+                "term": df.term,
+                "doc_id": np.full(len(df), -1, np.int64),
+                "tf": np.full(len(df), -1, np.int64),
+                "df": df["df"].to_numpy(np.int64),
+                "_sg": (h.astype(np.uint64) % np.uint64(num_groups)).astype(np.int64),
+            }
+        )
+
+    both = tf.map_batches(tag_tf, batch_format="pandas").union(
+        dfreq.map_batches(tag_df, batch_format="pandas")
+    )
+    n_total = float(n_docs)
+
+    def score_group(g: pd.DataFrame) -> pd.DataFrame:
+        t = g[g.tf >= 0]
+        d = g[g.df >= 0][["term", "df"]]
+        m = t.merge(d, on="term", suffixes=("_x", ""))
+        idf = np.log(n_total / m["df"].to_numpy(np.float64))
+        out = pd.DataFrame(
+            {
+                "doc_id": m.doc_id.to_numpy(np.int64),
+                "term": m.term,
+                "raw": m.tf.to_numpy(np.float64) * idf,
+            }
+        )
+        h = pd.util.hash_pandas_object(out.doc_id, index=False).to_numpy()
+        out["_dg"] = (h.astype(np.uint64) % np.uint64(num_groups)).astype(np.int64)
+        return out
+
+    def topk_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "raw", "term"], ascending=[True, False, True],
+                          kind="mergesort")
+        g = g.groupby("doc_id", sort=False).head(3).copy()
+        g["rk"] = g.groupby("doc_id", sort=False).cumcount().to_numpy() + 1
+        g["score"] = g.raw.round(6)
+        return g[["doc_id", "rk", "term", "score"]]
+
+    scored = (
+        both.groupby("_sg")
+        .map_groups(score_group, batch_format="pandas")
+        .groupby("_dg")
+        .map_groups(topk_group, batch_format="pandas")
+    )
+    out = scored.to_pandas().sort_values(["doc_id", "rk"]).reset_index(drop=True)
+    out["rk"] = out.rk.astype(np.int64)
+    return out[["doc_id", "rk", "term", "score"]]
