@@ -341,3 +341,61 @@ def q_heavy_hitters(sf_dir: str, phi: float = 0.005) -> pd.DataFrame:
     ).reset_index(drop=True)
     out["cnt"] = out.cnt.astype(np.int64)
     return out[["term", "cnt"]]
+
+
+@query(
+    "q_stratified_sample",
+    """
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+         tot AS (SELECT COUNT(*) AS n_total,
+                        COUNT(DISTINCT lang) AS n_strata FROM documents),
+         r AS (SELECT c.lang,
+                      CAST(floor(LEAST(1.0,
+                           CAST(ceil(tot.n_total * 0.2 / tot.n_strata) AS DOUBLE)
+                           / c.n) * 65536) AS BIGINT) AS thresh
+               FROM c, tot)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r USING (lang)
+    WHERE CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+               AS INTEGER) < r.thresh
+    ORDER BY d.doc_id
+    """,
+)
+def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Stratified rebalancing sample: downsample each ``lang`` stratum to
+    ~an equal share of a 20% global budget (rate = min(1, cap/count),
+    cap = ceil(0.2*N/#strata)) — the distribution-balancing op of a
+    training-data pipeline. Scale shape: per-stratum counts are ONE tiny
+    partial-aggregated shuffle (one row per stratum per batch); the
+    ≤#strata rate map rides task closures; the keep decision is a
+    stateless md5-prefix integer threshold per row — deterministic on any
+    partitioning, resumable, and exactly reproducible in SQL (integer
+    compare, no float-rate parity hazard)."""
+    import hashlib
+    import math
+
+    from .ops import partial_groupby_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    counts = partial_groupby_sum(ds, "lang", [], count_alias="n").to_pandas()
+    n_total = int(counts.n.sum())
+    cap = math.ceil(n_total * 0.2 / len(counts))
+    thresh = {
+        lang: int(min(1.0, float(cap) / n) * 65536)
+        for lang, n in zip(counts.lang, counts.n)
+    }
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.array(
+            [
+                int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16)
+                for d in df.doc_id
+            ],
+            dtype=np.int64,
+        )
+        t = df.lang.map(thresh).to_numpy(np.int64)
+        m = h < t
+        return df.loc[m, ["doc_id", "lang"]]
+
+    out = ds.map_batches(keep, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
