@@ -121,6 +121,7 @@ def run_bench() -> dict:
         "q_heavy_hitters",
         "q_asof_join",
         "q_tfidf_top_terms",
+        "q_bloom_join",
     ]:
         fn = relational.REGISTRY[name]
         t0 = time.perf_counter()

@@ -280,3 +280,86 @@ def asof_join(
         right.map_batches(add_sg, batch_format="pandas")
     )
     return both.groupby("_sg").map_groups(join_group, batch_format="pandas")
+
+
+class BloomFilter:
+    """Plain counting-free Bloom filter over int64/uint64 keys, packed as a
+    uint64 bitmap — mergeable by bitwise OR, so per-batch partials reduce
+    associatively. k index functions derive from ONE splitmix64 hash by
+    double hashing (h1 + i*h2, Kirsch-Mitzenmacher), so membership is
+    deterministic on any partitioning. False positives only — a bloom
+    PREFILTER before a join is exact: the join itself removes survivors
+    that don't match."""
+
+    __slots__ = ("bits", "n_bits", "k")
+
+    def __init__(self, n_bits: int = 1 << 20, k: int = 4, bits: np.ndarray | None = None):
+        assert n_bits % 64 == 0
+        self.n_bits = n_bits
+        self.k = k
+        self.bits = bits if bits is not None else np.zeros(n_bits // 64, dtype=np.uint64)
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        from .sketch import hash_values
+
+        h = hash_values(keys)
+        h1 = h % np.uint64(self.n_bits)
+        h2 = (h >> np.uint64(33)) | np.uint64(1)  # odd -> full-period stride
+        idx = np.arange(self.k, dtype=np.uint64)[:, None]
+        return (h1[None, :] + idx * (h2[None, :] % np.uint64(self.n_bits))) % np.uint64(
+            self.n_bits
+        )  # (k, n)
+
+    def add(self, keys: np.ndarray) -> None:
+        pos = self._positions(np.asarray(keys)).ravel()
+        np.bitwise_or.at(self.bits, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        pos = self._positions(np.asarray(keys))  # (k, n)
+        word = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
+        hit = (word >> (pos & np.uint64(63))) & np.uint64(1)
+        return hit.all(axis=0).astype(bool)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        return self
+
+
+def bloom_build_distributed(
+    ds: rd.Dataset, col: str, n_bits: int = 1 << 20, k: int = 4
+) -> BloomFilter:
+    """Distributed Bloom build: each batch sets its keys' bits into a local
+    bitmap and emits ONE fixed-size row; the driver ORs one bitmap per
+    block as they stream in (``iter_batches`` — never all bitmaps resident
+    at once). The result is partition-order independent (OR is
+    commutative). n_bits=2^20 is 128 KiB — broadcast once via ``ray.put``
+    and read by every prefilter task."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(n_bits, k)
+        bf.add(np.asarray(batch[col]))
+        return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.binary())})
+
+    acc = BloomFilter(n_bits, k)
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    for b in parts.iter_batches(batch_size=16, batch_format="pyarrow"):
+        for blob in b["bits"]:
+            np.bitwise_or(
+                acc.bits, np.frombuffer(blob.as_py(), dtype=np.uint64), out=acc.bits
+            )
+    return acc
+
+
+def bloom_prefilter(ds: rd.Dataset, col: str, bloom_ref) -> rd.Dataset:
+    """Drop rows whose ``col`` cannot be in the broadcast Bloom filter —
+    the shuffle-reduction step before a large-large join when one side is
+    selective: survivors (true matches + ~fp-rate noise) are what the
+    join actually shuffles."""
+    import ray
+
+    def flt(batch: pa.Table) -> pa.Table:
+        bf = ray.get(bloom_ref)
+        return batch.filter(pa.array(bf.contains(np.asarray(batch[col]))))
+
+    return ds.map_batches(flt, batch_format="pyarrow")

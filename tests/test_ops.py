@@ -126,3 +126,58 @@ class TestSaltedGroupby:
         assert out["hot"] == 5000
         assert all(out[f"k{i}"] == 10 for i in range(50))
         assert out.sum() == 5500
+
+
+class TestBloomFilter:
+    def test_no_false_negatives_and_fp_rate(self):
+        from citygml2objv2_ray.ops import BloomFilter
+
+        rng = np.random.default_rng(3)
+        members = rng.choice(10**9, size=20_000, replace=False).astype(np.int64)
+        bf = BloomFilter(n_bits=1 << 20, k=4)
+        bf.add(members)
+        assert bf.contains(members).all()  # never a false negative
+        probe = rng.integers(10**9, 2 * 10**9, size=50_000)
+        fp = bf.contains(probe).mean()
+        assert fp < 0.01  # 20k keys in 2^20 bits, k=4 -> ~0.1% expected
+
+    def test_merge_is_union(self):
+        from citygml2objv2_ray.ops import BloomFilter
+
+        a, b = BloomFilter(1 << 14, 3), BloomFilter(1 << 14, 3)
+        ka = np.arange(0, 500, dtype=np.int64)
+        kb = np.arange(500, 1000, dtype=np.int64)
+        a.add(ka)
+        b.add(kb)
+        a.merge(b)
+        assert a.contains(np.concatenate([ka, kb])).all()
+
+    def test_distributed_build_matches_local_and_prefilter_exact(self, ray_session):
+        import ray
+
+        from citygml2objv2_ray.ops import (
+            BloomFilter,
+            bloom_build_distributed,
+            bloom_prefilter,
+        )
+
+        rng = np.random.default_rng(7)
+        keys = rng.choice(100_000, size=5_000, replace=False).astype(np.int64)
+        ds = rd.from_pandas(pd.DataFrame({"k": keys})).repartition(8)
+        dist = bloom_build_distributed(ds, "k", n_bits=1 << 16, k=3)
+        local = BloomFilter(1 << 16, 3)
+        local.add(keys)
+        assert np.array_equal(dist.bits, local.bits)  # partition-order free
+
+        big = pd.DataFrame({"k": rng.integers(0, 200_000, size=30_000)})
+        ref = ray.put(dist)
+        kept = bloom_prefilter(
+            rd.from_pandas(big).repartition(6), "k", ref
+        ).to_pandas()
+        member = np.isin(big.k.to_numpy(), keys)
+        # every true member survives; survivors are the bloom's exact
+        # positive set (true matches + deterministic false positives)
+        assert np.isin(keys, kept.k.to_numpy()).sum() == len(
+            np.intersect1d(keys, big.k.to_numpy())
+        )
+        assert member.sum() <= len(kept) < len(big)
