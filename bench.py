@@ -122,6 +122,9 @@ def run_bench() -> dict:
         "q_asof_join",
         "q_tfidf_top_terms",
         "q_bloom_join",
+        "q_group_quantiles",
+        "q_rollup",
+        "q_event_deltas",
     ]:
         fn = relational.REGISTRY[name]
         t0 = time.perf_counter()

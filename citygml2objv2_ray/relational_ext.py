@@ -680,3 +680,140 @@ def q_bloom_join(sf_dir: str) -> pd.DataFrame:
     df["n_items"] = df.n_items.astype(np.int64)
     df["revenue"] = df.sum_revenue.round(2)
     return df[["o_orderpriority", "n_items", "revenue"]]
+
+
+@query(
+    "q_rollup",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+)
+def q_rollup(sf_dir: str) -> pd.DataFrame:
+    """Multi-level ROLLUP aggregate (revenue by flag x status, by flag, and
+    grand total) in ONE pass over the data: the finest level runs through
+    the partial-combine groupby (``ops.partial_groupby_sum`` — the shuffle
+    moves one row per (flag,status) per batch), and the coarser levels are
+    derived by RE-AGGREGATING the finest result, which is bounded by the
+    key-product cardinality (|flags| x |statuses|), not the table — at
+    100 TB the rollup costs exactly one shuffle of tiny partials plus
+    driver arithmetic over a handful of rows. NULL group markers follow the
+    SQL convention, surfaced as 'ALL' (COALESCE twin)."""
+    from .ops import partial_groupby_sum
+
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": df.l_returnflag,
+                "l_linestatus": df.l_linestatus,
+                "revenue": df.l_extendedprice * (1 - df.l_discount),
+            }
+        )
+
+    fine = (
+        partial_groupby_sum(
+            ds.map_batches(rev, batch_format="pandas"),
+            ["l_returnflag", "l_linestatus"],
+            ["revenue"],
+            count_alias="n_items",
+        )
+        .to_pandas()  # bounded: |flags| x |statuses| rows
+        .rename(columns={"sum_revenue": "revenue"})
+    )
+
+    def level(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        g = (
+            df.groupby(keys, as_index=False)[["n_items", "revenue"]].sum()
+            if keys
+            else df[["n_items", "revenue"]].sum().to_frame().T
+        )
+        for c in ("l_returnflag", "l_linestatus"):
+            if c not in keys:
+                g[c] = "ALL"
+        return g
+
+    out = pd.concat(
+        [
+            level(fine, ["l_returnflag", "l_linestatus"]),
+            level(fine, ["l_returnflag"]),
+            level(fine, []),
+        ],
+        ignore_index=True,
+    )
+    out = out.rename(columns={"l_returnflag": "returnflag", "l_linestatus": "linestatus"})
+    out = out.sort_values(["returnflag", "linestatus"]).reset_index(drop=True)
+    out["n_items"] = out.n_items.astype(np.int64)
+    out["revenue"] = out.revenue.astype(float).round(2)
+    return out[["returnflag", "linestatus", "n_items", "revenue"]]
+
+
+@query(
+    "q_event_deltas",
+    """
+    WITH d AS (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS e
+               FROM events),
+         g AS (SELECT user_id,
+                      e - LAG(e) OVER (PARTITION BY user_id
+                                       ORDER BY e, event_id) AS gap
+               FROM d)
+    SELECT user_id, COUNT(*) AS n_gaps,
+           ROUND(AVG(gap) / 1000000.0, 4) AS mean_gap_s,
+           ROUND(MAX(gap) / 1000000.0, 4) AS max_gap_s
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_event_deltas(sf_dir: str) -> pd.DataFrame:
+    """Per-user LAG() inter-event gaps (the window-function shape the
+    sessionizer builds on, surfaced as its own operator): each user's
+    history co-locates on a coarse hash super-group, and inside the group
+    the lag/diff/aggregate is one vectorized pass across EVERY user at once
+    — sort by (user, ts, event_id), ``np.diff``, mask the user boundaries,
+    then a pandas groupby for (count, mean, max). No per-user Python at any
+    user cardinality; single-event users drop out exactly as SQL's
+    ``WHERE gap IS NOT NULL``."""
+    from .ops import supergroup_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def to_epoch(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(e=df.ts.values.astype("datetime64[us]").astype(np.int64))[
+            ["user_id", "event_id", "e"]
+        ]
+
+    def deltas_vectorized(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "e", "event_id"], kind="stable").reset_index(drop=True)
+        u = g.user_id.to_numpy()
+        e = g.e.to_numpy()
+        same_user = np.concatenate([[False], u[1:] == u[:-1]])
+        gap = np.concatenate([[0], np.diff(e)])
+        d = pd.DataFrame({"user_id": u[same_user], "gap": gap[same_user]})
+        out = d.groupby("user_id", as_index=False).agg(
+            n_gaps=("gap", "size"), gap_sum=("gap", "sum"), gap_max=("gap", "max")
+        )
+        return out
+
+    res = supergroup_agg(
+        ds.map_batches(to_epoch, batch_format="pandas"),
+        ["user_id"],
+        lambda df: df,
+        deltas_vectorized,
+        num_rows_hint=_nrows(sf_dir, "events"),
+    )
+    df = res.to_pandas().sort_values("user_id").reset_index(drop=True)
+    df["n_gaps"] = df.n_gaps.astype(np.int64)
+    df["mean_gap_s"] = (
+        (df.gap_sum.astype(np.float64) / df.n_gaps.to_numpy(np.float64)) / 1e6
+    ).round(4)
+    df["max_gap_s"] = (df.gap_max.astype(np.float64) / 1e6).round(4)
+    return df[["user_id", "n_gaps", "mean_gap_s", "max_gap_s"]]
