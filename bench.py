@@ -125,6 +125,8 @@ def run_bench() -> dict:
         "q_group_quantiles",
         "q_rollup",
         "q_event_deltas",
+        "q_pivot_events",
+        "q_running_total",
     ]:
         fn = relational.REGISTRY[name]
         t0 = time.perf_counter()

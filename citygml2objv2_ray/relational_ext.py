@@ -817,3 +817,103 @@ def q_event_deltas(sf_dir: str) -> pd.DataFrame:
     ).round(4)
     df["max_gap_s"] = (df.gap_max.astype(np.float64) / 1e6).round(4)
     return df[["user_id", "n_gaps", "mean_gap_s", "max_gap_s"]]
+
+
+@query(
+    "q_pivot_events",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+           COUNT(*) AS n_total
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_pivot_events(sf_dir: str) -> pd.DataFrame:
+    """Crosstab pivot (long events -> one wide row per user with per-type
+    counts): within each batch the partial is a vectorized (user, type)
+    size-groupby — so the shuffle moves at most |types| rows per user per
+    batch, never raw events — and the supergroup merge re-sums partials and
+    unstacks to the wide layout for all its users at once
+    (``pivot_table``). The wide schema is fixed by the type domain, so at
+    100 TB the output is one bounded row per user and no stage ever holds
+    more than a super-group's worth of partials."""
+    from .ops import supergroup_agg
+
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["user_id", "event_type"], sort=False, as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    def widen(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+        w = g.pivot_table(index="user_id", columns="event_type", values="n",
+                          fill_value=0, aggfunc="sum")
+        w = w.reindex(columns=TYPES, fill_value=0)
+        w.columns = [f"n_{t}" for t in TYPES]
+        w["n_total"] = w.sum(axis=1)
+        return w.reset_index()
+
+    res = supergroup_agg(
+        ds, ["user_id"], partial, widen, num_rows_hint=_nrows(sf_dir, "events")
+    )
+    df = res.to_pandas().sort_values("user_id").reset_index(drop=True)
+    for c in df.columns:
+        if c != "user_id":
+            df[c] = df[c].astype(np.int64)
+    return df[["user_id"] + [f"n_{t}" for t in TYPES] + ["n_total"]]
+
+
+@query(
+    "q_running_total",
+    """
+    WITH m AS (SELECT o_orderpriority AS priority,
+                      strftime(o_orderdate, '%Y-%m') AS month,
+                      SUM(o_totalprice) AS rev
+               FROM orders GROUP BY 1, 2)
+    SELECT priority, month, ROUND(rev, 2) AS month_revenue,
+           ROUND(SUM(rev) OVER (PARTITION BY priority ORDER BY month), 2)
+               AS cum_revenue
+    FROM m ORDER BY priority, month
+    """,
+)
+def q_running_total(sf_dir: str) -> pd.DataFrame:
+    """Running cumulative window (monthly revenue per priority with a
+    running total): the data-scale work is ONE partial-combine groupby down
+    to the (priority, month) level — bounded by the key product, not the
+    table — and the ORDER BY window cumsum runs vectorized over that
+    bounded aggregate (pandas groupby cumsum). This is the right 100 TB
+    shape for any frame-unbounded window over a coarse time grain: never
+    window the raw rows, aggregate to the grain first and window the
+    aggregate."""
+    from .ops import partial_groupby_sum
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate", "o_totalprice"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "priority": df.o_orderpriority,
+                "month": df.o_orderdate.dt.strftime("%Y-%m"),
+                "rev": df.o_totalprice,
+            }
+        )
+
+    fine = (
+        partial_groupby_sum(
+            ds.map_batches(keyed, batch_format="pandas"),
+            ["priority", "month"],
+            ["rev"],
+        )
+        .to_pandas()  # bounded: |priorities| x |months| rows
+        .sort_values(["priority", "month"], kind="stable")
+        .reset_index(drop=True)
+    )
+    fine["cum_revenue"] = fine.groupby("priority", sort=False)["sum_rev"].cumsum().round(2)
+    fine["month_revenue"] = fine.sum_rev.round(2)
+    return fine[["priority", "month", "month_revenue", "cum_revenue"]]
