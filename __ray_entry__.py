@@ -217,6 +217,55 @@ def _q_phash_dup_groups(sf_dir: str):
     return df[["phash", "n", "first_img"]]
 
 
+def _q_image_exact_dup(sf_dir: str):
+    """Exact BYTE-level image dedup (the content-hash analog of the
+    phash groups above, over the binary payload itself): each batch hashes
+    its blobs to a 16-byte md5 digest — so the dedup shuffle moves
+    (digest, image_id), never the ~7 KB payloads — then the super-group
+    merge keeps groups with n > 1 and their min image_id. At 100 TB the
+    network cost is the id+digest columns only; the DuckDB twin groups by
+    the raw blob (md5 there is VARCHAR-only), which is exact modulo md5
+    collisions (none by construction)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from citygml2objv2_ray import worlds
+    from citygml2objv2_ray.ops import derive_num_blocks, parquet_num_rows, supergroup_agg
+
+    images_path, _, _ = worlds.load_world(worlds.sf_of_dir(sf_dir))
+    ds = rd.read_parquet(
+        images_path,
+        columns=["image_id", "bytes"],
+        override_num_blocks=derive_num_blocks(parquet_num_rows(images_path)),
+    )
+
+    def digest_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = [hashlib.md5(b).hexdigest() for b in df["bytes"]]
+        out = pd.DataFrame({"digest": d, "image_id": df.image_id})
+        g = out.groupby("digest", sort=False).agg(
+            n=("image_id", "size"), keep_img=("image_id", "min")
+        )
+        return g.reset_index()
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("digest", sort=False).agg(n=("n", "sum"), keep_img=("keep_img", "min"))
+        g = g.reset_index()
+        return g[g.n > 1]
+
+    agg = supergroup_agg(ds, ["digest"], digest_partial, merge)
+    df = agg.to_pandas()
+    if not len(df):
+        return pd.DataFrame(
+            {"keep_img": pd.Series(dtype=object), "n": pd.Series(dtype=np.int64)}
+        )
+    df = df.sort_values("keep_img").reset_index(drop=True)
+    df["n"] = df.n.astype(np.int64)
+    return df[["keep_img", "n"]]
+
+
 def _q_components(sf_dir: str):
     """Component-separation sidecar table (§3.3 parity, rows-only)."""
     import ray.data as rd
@@ -466,6 +515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "q_semantic_areas": _q_semantic_areas,
             "q_building_bboxes": _q_building_bboxes,
             "q_phash_dup_groups": _q_phash_dup_groups,
+            "q_image_exact_dup": _q_image_exact_dup,
             "q_components": _q_components,
             "q_ann_ivf": _q_ann_ivf,
             "q_range_join": _q_range_join,
@@ -512,6 +562,11 @@ def world_oracle_sql(sf: float) -> dict[str, str]:
             SELECT phash, CAST(COUNT(*) AS BIGINT) AS n, MIN(image_id) AS first_img
             FROM read_parquet('{images}')
             GROUP BY phash HAVING COUNT(*) > 1 ORDER BY phash
+        """,
+        "q_image_exact_dup": f"""
+            SELECT MIN(image_id) AS keep_img, CAST(COUNT(*) AS BIGINT) AS n
+            FROM read_parquet('{images}')
+            GROUP BY bytes HAVING COUNT(*) > 1 ORDER BY keep_img
         """,
         "q_phash_neardup": f"""
             SELECT a.image_id AS img_a, b.image_id AS img_b,
