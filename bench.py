@@ -127,6 +127,8 @@ def run_bench() -> dict:
         "q_event_deltas",
         "q_pivot_events",
         "q_running_total",
+        "q_left_join",
+        "q_weighted_sample",
     ]:
         fn = relational.REGISTRY[name]
         t0 = time.perf_counter()

@@ -917,3 +917,113 @@ def q_running_total(sf_dir: str) -> pd.DataFrame:
     fine["cum_revenue"] = fine.groupby("priority", sort=False)["sum_rev"].cumsum().round(2)
     fine["month_revenue"] = fine.sum_rev.round(2)
     return fine[["priority", "month", "month_revenue", "cum_revenue"]]
+
+
+@query(
+    "q_left_join",
+    """
+    SELECT c.c_custkey,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           ROUND(COALESCE(o.spend, 0), 2) AS total_spend
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                      SUM(o_totalprice) AS spend
+               FROM orders GROUP BY o_custkey) o
+      ON c.c_custkey = o.o_custkey
+    ORDER BY c.c_custkey
+    """,
+)
+def q_left_join(sf_dir: str) -> pd.DataFrame:
+    """LEFT OUTER join (every customer, zero-filled when orderless) as a
+    DISTRIBUTED two-sided shuffle — the preserved side is data-scale, so no
+    broadcast: orders pre-aggregate per batch (the shuffle moves one
+    (custkey, n, spend) partial per key per batch, never raw orders), both
+    sides tag-union onto the same key super-group, and each group does ONE
+    vectorized pandas left-merge covering all its keys. Null-extension
+    happens inside the group, so output rows = left cardinality exactly, at
+    any scale and any partitioning."""
+    from .ops import supergroup_agg
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cust_tag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"c_custkey": df.c_custkey, "n_orders": -1, "spend": 0.0}
+        )
+
+    def orders_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", sort=False, as_index=False).agg(
+            n_orders=("o_totalprice", "size"), spend=("o_totalprice", "sum")
+        )
+        return g.rename(columns={"o_custkey": "c_custkey"})
+
+    both = cust.map_batches(cust_tag, batch_format="pandas").union(
+        orders.map_batches(orders_partial, batch_format="pandas")
+    )
+
+    def merge_left(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df.n_orders < 0][["c_custkey"]]
+        right = (
+            df[df.n_orders >= 0]
+            .groupby("c_custkey", as_index=False)[["n_orders", "spend"]]
+            .sum()
+        )
+        m = left.merge(right, on="c_custkey", how="left")
+        m["n_orders"] = m.n_orders.fillna(0).astype(np.int64)
+        m["total_spend"] = m.spend.fillna(0.0).round(2)
+        return m[["c_custkey", "n_orders", "total_spend"]]
+
+    res = supergroup_agg(
+        both,
+        ["c_custkey"],
+        lambda df: df,
+        merge_left,
+        num_rows_hint=_nrows(sf_dir, "orders"),
+    )
+    return res.to_pandas().sort_values("c_custkey").reset_index(drop=True)
+
+
+@query(
+    "q_weighted_sample",
+    """
+    WITH keyed AS (
+        SELECT o_orderkey, o_totalprice,
+               -ln((CAST(CONCAT('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                         AS BIGINT) + 1) / 4294967297.0) / o_totalprice AS k
+        FROM orders
+    )
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS weight
+    FROM keyed ORDER BY k, o_orderkey LIMIT 100
+    """,
+)
+def q_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """Weighted sample WITHOUT replacement (k=100, weight = order value) via
+    Efraimidis–Spirakis A-ES exponential keys, made DETERMINISTIC and
+    partition-invariant by deriving the uniform from md5(o_orderkey) instead
+    of an RNG: key = -ln(u)/w, keep the k smallest. Distributed as per-batch
+    partial top-k (each batch ships at most k rows) + a k-bounded driver
+    merge — the same selection pattern as the ANN top-k, O(k) driver state
+    at any corpus size. The SQL twin recomputes the identical md5-anchored
+    keys, so the sample is exactly reproducible."""
+    import hashlib
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    K = 100
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        u = np.array(
+            [int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) for k in df.o_orderkey],
+            dtype=np.float64,
+        )
+        key = -np.log((u + 1.0) / 4294967297.0) / df.o_totalprice.to_numpy(np.float64)
+        out = pd.DataFrame(
+            {"o_orderkey": df.o_orderkey, "weight": df.o_totalprice, "k": key}
+        )
+        return out.nsmallest(K, "k", keep="all").sort_values(["k", "o_orderkey"]).head(K)
+
+    parts = ds.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    top = parts.sort_values(["k", "o_orderkey"], kind="stable").head(K)
+    top = top.sort_values(["k", "o_orderkey"]).reset_index(drop=True)
+    top["weight"] = top.weight.round(2)
+    return top[["o_orderkey", "weight"]]
