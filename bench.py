@@ -129,6 +129,7 @@ def run_bench() -> dict:
         "q_running_total",
         "q_left_join",
         "q_weighted_sample",
+        "q_json_extract",
     ]:
         fn = relational.REGISTRY[name]
         t0 = time.perf_counter()
