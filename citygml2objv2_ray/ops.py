@@ -363,3 +363,17 @@ def bloom_prefilter(ds: rd.Dataset, col: str, bloom_ref) -> rd.Dataset:
         return batch.filter(pa.array(bf.contains(np.asarray(batch[col]))))
 
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def derive_join_partitions(
+    *n_rows: int | None, target_rows: int = 65536, lo: int = 8, hi: int = 512
+) -> int:
+    """Hash-join partition count from the larger side's row count (parquet
+    footer metadata — free): one partition per ~``target_rows`` rows of the
+    bigger input, clamped. A fixed constant either caps shuffle parallelism
+    at scale (8 reduce tasks for a 100 TB fact table) or explodes the
+    partition matrix at test scale; deriving keeps both regimes right."""
+    n = max((x for x in n_rows if x), default=None)
+    if not n:
+        return lo
+    return int(min(hi, max(lo, n // target_rows)))

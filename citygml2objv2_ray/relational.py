@@ -258,10 +258,18 @@ def q_semi_join(sf_dir: str) -> pd.DataFrame:
         .aggregate([]),
         batch_format="pyarrow",
     )
+    from .ops import derive_join_partitions
+
     keys_ds = filtered.groupby("l_orderkey").aggregate(Count(alias_name="_c"))
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     joined = orders.join(
-        keys_ds, "inner", num_partitions=8, on=("o_orderkey",), right_on=("l_orderkey",)
+        keys_ds,
+        "inner",
+        num_partitions=derive_join_partitions(
+            _nrows(sf_dir, "orders"), _nrows(sf_dir, "lineitem")
+        ),
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
     )
     df = fn_sorted(
         joined.select_columns(["o_orderkey", "o_totalprice"]), ["o_orderkey"]

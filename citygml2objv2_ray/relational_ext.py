@@ -12,6 +12,7 @@ import ray.data as rd
 from ray.data.aggregate import Sum
 
 from . import dedup as dd
+from .ops import derive_join_partitions as _djp
 from .ops import salted_groupby
 from .relational import _nrows, _read, query
 
@@ -220,7 +221,11 @@ def q_join_native(sf_dir: str) -> pd.DataFrame:
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     joined = orders.join(
-        cust, "inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+        cust,
+        "inner",
+        num_partitions=_djp(_nrows(sf_dir, "orders"), _nrows(sf_dir, "customer")),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
     )
     df = joined.to_pandas()[["o_orderkey", "c_name", "o_totalprice"]]
     df["o_totalprice"] = df.o_totalprice.round(4)
@@ -673,7 +678,11 @@ def q_bloom_join(sf_dir: str) -> pd.DataFrame:
         ]
 
     joined = cand.map_batches(rev, batch_format="pandas").join(
-        sel, "inner", num_partitions=16, on=("l_orderkey",), right_on=("o_orderkey",)
+        sel,
+        "inner",
+        num_partitions=_djp(_nrows(sf_dir, "lineitem")),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
     )
     agg = partial_groupby_sum(joined, "o_orderpriority", ["revenue"], count_alias="n_items")
     df = agg.to_pandas().sort_values("o_orderpriority").reset_index(drop=True)

@@ -181,3 +181,16 @@ class TestBloomFilter:
             np.intersect1d(keys, big.k.to_numpy())
         )
         assert member.sum() <= len(kept) < len(big)
+
+
+def test_derive_join_partitions():
+    from citygml2objv2_ray.ops import derive_join_partitions
+
+    # unknown → minimum (never 1 task)
+    assert derive_join_partitions(None) == 8
+    # test scale stays at the floor
+    assert derive_join_partitions(150_000, 15_000) == 8
+    # grows with the LARGER side
+    assert derive_join_partitions(10_000_000, 500) == 10_000_000 // 65536
+    # clamped at the ceiling
+    assert derive_join_partitions(10**12) == 512
