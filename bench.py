@@ -130,6 +130,7 @@ def run_bench() -> dict:
         "q_left_join",
         "q_weighted_sample",
         "q_json_extract",
+        "q_kmv_distinct",
     ]:
         fn = relational.REGISTRY[name]
         t0 = time.perf_counter()

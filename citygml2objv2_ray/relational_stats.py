@@ -458,3 +458,53 @@ def q_group_quantiles(sf_dir: str) -> pd.DataFrame:
     df = res.to_pandas().sort_values("o_custkey").reset_index(drop=True)
     df["n"] = df.n.astype(np.int64)
     return df[["o_custkey", "n", "p50", "p90"]]
+
+
+@query(
+    "q_kmv_distinct",
+    """
+    WITH h AS (SELECT DISTINCT
+                   CAST(CONCAT('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS hv
+               FROM lineitem),
+         k AS (SELECT hv FROM h ORDER BY hv LIMIT 256)
+    SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+           MAX(hv) AS kth_hash,
+           ROUND((COUNT(*) - 1) / (MAX(hv) / 1152921504606846976.0), 4)
+               AS est_distinct
+    FROM k
+    """,
+)
+def q_kmv_distinct(sf_dir: str) -> pd.DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch — the deterministic
+    member of the sketch family (HLL above is rows-only by nature; KMV with
+    an md5-anchored hash is ORDER-INSENSITIVE and exactly reproducible, so
+    it gets a full SQL twin). Each batch keeps only its k smallest distinct
+    60-bit hashes; partials are k-bounded, the driver merge is
+    O(k * n_batches) and the estimate (k-1)/v_k touches one float division
+    — identical arithmetic on both sides, so even the estimate hashes
+    stably. The 100 TB story is the same as any bottom-k: fixed-size state
+    per block, no shuffle at all."""
+    import hashlib
+
+    K = 256
+    SCALE = float(1 << 60)
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def partial_kmv(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df.l_orderkey.unique()
+        hv = np.array(
+            [int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16) for k in keys],
+            dtype=np.int64,
+        )
+        hv = np.unique(hv)
+        return pd.DataFrame({"hv": hv[:K]})
+
+    parts = ds.map_batches(partial_kmv, batch_format="pandas").to_pandas()
+    hv = np.unique(parts.hv.to_numpy())[:K]
+    k_used = int(hv.size)
+    kth = int(hv.max())
+    est = round((k_used - 1) / (kth / SCALE), 4)
+    return pd.DataFrame(
+        {"k_used": [np.int64(k_used)], "kth_hash": [np.int64(kth)], "est_distinct": [est]}
+    )
