@@ -131,6 +131,8 @@ def run_bench() -> dict:
         "q_weighted_sample",
         "q_json_extract",
         "q_kmv_distinct",
+        "q_funnel",
+        "q_embedding_stats",
     ]:
         fn = relational.REGISTRY[name]
         t0 = time.perf_counter()

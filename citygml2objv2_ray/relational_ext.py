@@ -1088,3 +1088,110 @@ def q_json_extract(sf_dir: str) -> pd.DataFrame:
     for c in ("n", "sum_k", "max_k"):
         df[c] = df[c].astype(np.int64)
     return df[["event_type", "n", "sum_k", "max_k"]]
+
+
+@query(
+    "q_funnel",
+    """
+    WITH d AS (SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS e
+               FROM events),
+         s AS (SELECT user_id, MIN(e) AS signup_e FROM d
+               WHERE event_type = 'signup' GROUP BY user_id),
+         p AS (SELECT d.user_id, MIN(d.e) AS purchase_e
+               FROM d JOIN s USING (user_id)
+               WHERE d.event_type = 'purchase' AND d.e >= s.signup_e
+               GROUP BY d.user_id)
+    SELECT s.user_id, s.signup_e,
+           COALESCE(p.purchase_e, -1) AS purchase_e,
+           (p.purchase_e IS NOT NULL) AS converted
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+    ORDER BY s.user_id
+    """,
+)
+def q_funnel(sf_dir: str) -> pd.DataFrame:
+    """Sequence-pattern funnel (signup → first purchase AT OR AFTER it):
+    the order-dependent cousin of sessionization. Each user's full history
+    co-locates on one hash super-group; inside, the funnel is vectorized
+    across every user at once — min signup per user, purchases filtered
+    against the user's signup time by a broadcast-aligned merge, min again,
+    then a left-merge null-extends non-converters (sentinel -1, matching
+    the SQL COALESCE). No per-user Python at any cardinality; at 100 TB
+    the shuffle moves only (user, type, epoch) triples."""
+    from .ops import supergroup_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def to_epoch(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.event_type.isin(["signup", "purchase"])]
+        return pd.DataFrame(
+            {
+                "user_id": df.user_id,
+                "event_type": df.event_type,
+                "e": df.ts.values.astype("datetime64[us]").astype(np.int64),
+            }
+        )
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            g[g.event_type == "signup"]
+            .groupby("user_id", as_index=False)["e"].min()
+            .rename(columns={"e": "signup_e"})
+        )
+        pur = g[g.event_type == "purchase"][["user_id", "e"]].merge(s, on="user_id")
+        pur = pur[pur.e >= pur.signup_e]
+        p = (
+            pur.groupby("user_id", as_index=False)["e"].min()
+            .rename(columns={"e": "purchase_e"})
+        )
+        out = s.merge(p, on="user_id", how="left")
+        out["converted"] = out.purchase_e.notna()
+        out["purchase_e"] = out.purchase_e.fillna(-1).astype(np.int64)
+        return out[["user_id", "signup_e", "purchase_e", "converted"]]
+
+    res = supergroup_agg(
+        ds.map_batches(to_epoch, batch_format="pandas"),
+        ["user_id"],
+        lambda df: df,
+        funnel,
+        num_rows_hint=_nrows(sf_dir, "events"),
+    )
+    df = res.to_pandas().sort_values("user_id").reset_index(drop=True)
+    df["signup_e"] = df.signup_e.astype(np.int64)
+    return df[["user_id", "signup_e", "purchase_e", "converted"]]
+
+
+@query(
+    "q_embedding_stats",
+    """
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                  x -> x * x)))), 6) AS mean_norm
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+)
+def q_embedding_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-label embedding L2-norm statistics — the vector-column profiling
+    pass a training pipeline runs before normalizing/indexing. Norms are
+    computed per batch with one f64 matrix reduction (list column viewed as
+    an (n, d) array, square-sum along the row axis), then the per-label
+    mean rides the partial-combine groupby as (sum, n). Cast-to-DOUBLE
+    parity with the SQL twin: the stored floats are f32, both sides
+    promote before arithmetic."""
+    from .ops import partial_groupby_sum
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def norms(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df.embedding.to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {"label": df.label.to_numpy(np.int64), "norm": np.sqrt((m * m).sum(axis=1))}
+        )
+
+    agg = partial_groupby_sum(
+        ds.map_batches(norms, batch_format="pandas"), "label", ["norm"]
+    )
+    df = agg.to_pandas().sort_values("label").reset_index(drop=True)
+    df["mean_norm"] = (df.sum_norm / df.n).round(6)
+    df["label"] = df.label.astype(np.int64)
+    df["n"] = df.n.astype(np.int64)
+    return df[["label", "n", "mean_norm"]]
