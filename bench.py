@@ -133,6 +133,8 @@ def run_bench() -> dict:
         "q_kmv_distinct",
         "q_funnel",
         "q_embedding_stats",
+        "q_histogram",
+        "q_correlation",
     ]:
         fn = relational.REGISTRY[name]
         t0 = time.perf_counter()

@@ -508,3 +508,90 @@ def q_kmv_distinct(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         {"k_used": [np.int64(k_used)], "kth_hash": [np.int64(kth)], "est_distinct": [est]}
     )
+
+
+@query(
+    "q_histogram",
+    """
+    WITH s AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+               FROM orders)
+    SELECT LEAST(CAST(floor((o_totalprice - s.lo) / ((s.hi - s.lo) / 20.0))
+                      AS BIGINT), 19) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders, s GROUP BY bin ORDER BY bin
+    """,
+)
+def q_histogram(sf_dir: str) -> pd.DataFrame:
+    """Value histogram as a first-class query (the mergeable-histogram
+    kernel behind the quantile family, surfaced directly): pass 1 is the
+    exact global (min, max) aggregate; pass 2 bins every row with one
+    vectorized floor-divide per batch and ships (bin, n) partials — at most
+    20 rows per batch — into a tiny final groupby. Bin edges derive from
+    the same doubles on both sides, so boundary assignment is bit-exact."""
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    stats = ds.aggregate(Min("o_totalprice", alias_name="lo"), Max("o_totalprice", alias_name="hi"))
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    w = (hi - lo) / 20.0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch["o_totalprice"], dtype=np.float64)
+        idx = np.minimum(np.floor((v - lo) / w).astype(np.int64), 19)
+        counts = np.bincount(idx, minlength=20)
+        nz = np.flatnonzero(counts)
+        return pa.table({"bin": pa.array(nz, pa.int64()), "n": pa.array(counts[nz], pa.int64())})
+
+    res = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    df = res.to_pandas().sort_values("bin").reset_index(drop=True)
+    df["bin"] = df.bin.astype(np.int64)
+    df["n"] = df.n.astype(np.int64)
+    return df[["bin", "n"]]
+
+
+@query(
+    "q_correlation",
+    """
+    SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS r,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    """,
+)
+def q_correlation(sf_dir: str) -> pd.DataFrame:
+    """Distributed Pearson correlation, numerically stable at any scale:
+    a naive single-pass (n*sxy - sx*sy) formula catastrophically cancels on
+    large-magnitude columns, so this runs TWO bounded passes — exact means
+    first, then CENTERED product sums as per-batch partials (three doubles
+    per batch cross the wire). Matches DuckDB's streaming corr to well
+    under the 6-dp comparison precision."""
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+    stats = ds.aggregate(
+        Count(alias_name="n"),
+        Sum("l_quantity", alias_name="sx"),
+        Sum("l_extendedprice", alias_name="sy"),
+    )
+    n = int(stats["n"])
+    mx, my = float(stats["sx"]) / n, float(stats["sy"]) / n
+
+    def centered(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch["l_quantity"], dtype=np.float64) - mx
+        y = np.asarray(batch["l_extendedprice"], dtype=np.float64) - my
+        return pa.table(
+            {
+                "sxx": pa.array([float((x * x).sum())]),
+                "syy": pa.array([float((y * y).sum())]),
+                "sxy": pa.array([float((x * y).sum())]),
+            }
+        )
+
+    agg = ds.map_batches(centered, batch_format="pyarrow").aggregate(
+        Sum("sxx", alias_name="sxx"),
+        Sum("syy", alias_name="syy"),
+        Sum("sxy", alias_name="sxy"),
+    )
+    r = agg["sxy"] / np.sqrt(agg["sxx"] * agg["syy"])
+    return pd.DataFrame([{"r": round(float(r), 6), "n": np.int64(n)}])
