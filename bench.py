@@ -135,6 +135,8 @@ def run_bench() -> dict:
         "q_embedding_stats",
         "q_histogram",
         "q_correlation",
+        "q_full_outer_join",
+        "q_set_ops",
     ]:
         fn = relational.REGISTRY[name]
         t0 = time.perf_counter()

@@ -1195,3 +1195,100 @@ def q_embedding_stats(sf_dir: str) -> pd.DataFrame:
     df["label"] = df.label.astype(np.int64)
     df["n"] = df.n.astype(np.int64)
     return df[["label", "n", "mean_norm"]]
+
+
+@query(
+    "q_full_outer_join",
+    """
+    SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+           COALESCE(a.n_click, 0) AS n_click,
+           COALESCE(b.n_purchase, 0) AS n_purchase
+    FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_click FROM events
+          WHERE event_type = 'click' GROUP BY user_id) a
+    FULL OUTER JOIN
+         (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchase FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id) b
+      ON a.user_id = b.user_id
+    ORDER BY user_id
+    """,
+)
+def q_full_outer_join(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER join (clickers vs purchasers, both sides preserved) with
+    the same two-sided tag-union supergroup shuffle as ``q_left_join`` —
+    both sides are data-scale aggregates, neither is broadcast; the outer
+    merge and zero-fill happen vectorized inside each key group, so output
+    cardinality is the key union exactly at any partitioning."""
+    from .ops import supergroup_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.event_type.isin(["click", "purchase"])]
+        g = df.groupby(["user_id", "event_type"], sort=False, as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    def outer(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+        w = g.pivot_table(index="user_id", columns="event_type", values="n",
+                          fill_value=0, aggfunc="sum")
+        w = w.reindex(columns=["click", "purchase"], fill_value=0)
+        w.columns = ["n_click", "n_purchase"]
+        w = w.reset_index()
+        # key union minus keys with NEITHER side (filtered event types only)
+        return w[(w.n_click > 0) | (w.n_purchase > 0)]
+
+    res = supergroup_agg(
+        ds, ["user_id"], partial, outer, num_rows_hint=_nrows(sf_dir, "events")
+    )
+    df = res.to_pandas().sort_values("user_id").reset_index(drop=True)
+    for c in ("n_click", "n_purchase"):
+        df[c] = df[c].astype(np.int64)
+    return df[["user_id", "n_click", "n_purchase"]]
+
+
+@query(
+    "q_set_ops",
+    """
+    WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT user_id, 'both' AS tag FROM (SELECT user_id FROM c INTERSECT
+                                        SELECT user_id FROM p)
+    UNION ALL
+    SELECT user_id, 'click_only' AS tag FROM (SELECT user_id FROM c EXCEPT
+                                              SELECT user_id FROM p)
+    ORDER BY tag, user_id
+    """,
+)
+def q_set_ops(sf_dir: str) -> pd.DataFrame:
+    """INTERSECT / EXCEPT set operations on distinct key sets, as ONE
+    shuffle: both sides pre-distinct per batch with a side bitmask (1 =
+    click, 2 = purchase), the supergroup merge ORs masks per key and emits
+    'both' (mask 3) or 'click_only' (mask 1) — set algebra without
+    separate distinct passes or a join. N-way set ops generalize by
+    widening the bitmask."""
+    from .ops import supergroup_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.event_type.isin(["click", "purchase"])]
+        mask = np.where(df.event_type.to_numpy() == "click", 1, 2)
+        out = pd.DataFrame({"user_id": df.user_id, "mask": mask})
+        # distinct (user, bit) pairs — masks are disjoint bits, so the
+        # per-user OR is a plain SUM over distinct pairs (fully vectorized)
+        return out.drop_duplicates()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.drop_duplicates().groupby("user_id", sort=False, as_index=False)["mask"].sum()
+        m = m[m["mask"] != 2]  # purchase-only not requested
+        m["tag"] = np.where(m["mask"] == 3, "both", "click_only")
+        return m[["user_id", "tag"]]
+
+    res = supergroup_agg(
+        ds, ["user_id"], partial, merge, num_rows_hint=_nrows(sf_dir, "events")
+    )
+    return (
+        res.to_pandas()
+        .sort_values(["tag", "user_id"])
+        .reset_index(drop=True)[["user_id", "tag"]]
+    )
