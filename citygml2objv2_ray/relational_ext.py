@@ -666,6 +666,10 @@ def q_bloom_join(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
     )
 
+    # the selective side is consumed twice (bloom build + join probe side);
+    # materialize its small filtered output once instead of re-running the
+    # read+filter lineage for the second consumer
+    sel = sel.materialize()
     bloom = bloom_build_distributed(sel, "o_orderkey")
     bloom_ref = ray.put(bloom)
 
