@@ -137,6 +137,7 @@ def run_bench() -> dict:
         "q_correlation",
         "q_full_outer_join",
         "q_set_ops",
+        "q_gap_fill",
     ]:
         fn = relational.REGISTRY[name]
         t0 = time.perf_counter()

@@ -1296,3 +1296,69 @@ def q_set_ops(sf_dir: str) -> pd.DataFrame:
         .sort_values(["tag", "user_id"])
         .reset_index(drop=True)[["user_id", "tag"]]
     )
+
+
+@query(
+    "q_gap_fill",
+    """
+    WITH bounds AS (SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+                           date_trunc('month', MAX(o_orderdate)) AS hi
+                    FROM orders),
+         months AS (SELECT strftime(m, '%Y-%m') AS month
+                    FROM bounds,
+                         UNNEST(generate_series(lo, hi, INTERVAL 1 MONTH)) AS t(m)),
+         prios AS (SELECT DISTINCT o_orderpriority AS priority FROM orders),
+         agg AS (SELECT o_orderpriority AS priority,
+                        strftime(o_orderdate, '%Y-%m') AS month,
+                        CAST(COUNT(*) AS BIGINT) AS n
+                 FROM orders GROUP BY 1, 2)
+    SELECT p.priority, m.month, COALESCE(a.n, 0) AS n
+    FROM prios p CROSS JOIN months m
+    LEFT JOIN agg a ON a.priority = p.priority AND a.month = m.month
+    ORDER BY p.priority, m.month
+    """,
+)
+def q_gap_fill(sf_dir: str) -> pd.DataFrame:
+    """Calendar-spine gap fill (every (priority, month) cell of the
+    observed date range, zero-filled where no orders landed) — the
+    time-series densification op dashboards and trainers need before
+    windowing. The data-scale work is one partial-combine count groupby to
+    the (priority, month) grain plus an exact min/max date aggregate; the
+    spine cross-product and left-merge run on the driver over the
+    key-product-bounded aggregate only. At 100 TB nothing but grain
+    partials crosses the wire."""
+    from ray.data.aggregate import Max, Min
+
+    from .ops import partial_groupby_sum
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate"])
+    b = ds.aggregate(
+        Min("o_orderdate", alias_name="lo"), Max("o_orderdate", alias_name="hi")
+    )
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "priority": df.o_orderpriority,
+                "month": df.o_orderdate.dt.strftime("%Y-%m"),
+                "one": np.int64(1),
+            }
+        )
+
+    fine = (
+        partial_groupby_sum(
+            ds.map_batches(keyed, batch_format="pandas"), ["priority", "month"], ["one"]
+        )
+        .to_pandas()
+        .drop(columns=["n"])  # partial-row count, not the order count
+        .rename(columns={"sum_one": "n"})
+    )
+    months = pd.period_range(
+        pd.Timestamp(b["lo"]).to_period("M"), pd.Timestamp(b["hi"]).to_period("M"), freq="M"
+    ).strftime("%Y-%m")
+    spine = pd.MultiIndex.from_product(
+        [sorted(fine.priority.unique()), months], names=["priority", "month"]
+    ).to_frame(index=False)
+    out = spine.merge(fine[["priority", "month", "n"]], on=["priority", "month"], how="left")
+    out["n"] = out.n.fillna(0).astype(np.int64)
+    return out.sort_values(["priority", "month"]).reset_index(drop=True)
