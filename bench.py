@@ -194,6 +194,34 @@ def run_bench() -> dict:
     queries["minhash_neardup_300k"] = round(time.perf_counter() - t0, 3)
     queries["minhash_neardup_300k_pairs"] = int(len(mh_pairs))
 
+    # per-group quantile scale demo: 1M rows x 100k distinct keys — the
+    # cardinality regime where Ray's per-key groupby machinery degrades
+    # (50s measured for a plain count at 250k keys); the supergroup
+    # RLE-vectorized path must stay in single-digit seconds
+    from citygml2objv2_ray.relational_stats import group_quantile_disc
+
+    def synth_kv(batch):
+        import numpy as _np
+        import pandas as _pd
+
+        i = batch["id"].to_numpy()
+        h = (i * 2654435761) % (1 << 32)
+        return _pd.DataFrame(
+            {
+                "k": (i % 100_000).astype(_np.int64),
+                "v": (h / float(1 << 32)).astype(_np.float64),
+            }
+        )
+
+    kv = _rd.range(1_000_000, override_num_blocks=64).map_batches(
+        synth_kv, batch_format="pandas"
+    )
+    t0 = time.perf_counter()
+    gq = group_quantile_disc(kv, "k", "v", num_rows_hint=1_000_000)
+    n_keys = gq.count()
+    queries["group_quantiles_1m_100k_keys"] = round(time.perf_counter() - t0, 3)
+    assert n_keys == 100_000, n_keys
+
     return {
         "metric": "spatial-join + tile-assignment throughput",
         "value": round(headline, 3),

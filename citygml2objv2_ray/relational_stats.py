@@ -423,15 +423,35 @@ def q_group_quantiles(sf_dir: str) -> pd.DataFrame:
     semantics (smallest element whose cumulative fraction reaches q) match
     DuckDB exactly — element selection, no interpolation, exact float
     parity."""
-    from .ops import supergroup_agg
     from .relational import _nrows
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    res = group_quantile_disc(
+        ds, "o_custkey", "o_totalprice", num_rows_hint=_nrows(sf_dir, "orders")
+    )
+    df = res.to_pandas().sort_values("o_custkey").reset_index(drop=True)
+    df["n"] = df.n.astype(np.int64)
+    df["p50"] = df.p50.round(2)
+    df["p90"] = df.p90.round(2)
+    return df[["o_custkey", "n", "p50", "p90"]]
+
+
+def group_quantile_disc(
+    ds: rd.Dataset,
+    key: str,
+    col: str,
+    num_rows_hint: int | None = None,
+    num_groups: int | None = None,
+) -> rd.Dataset:
+    """Reusable per-group discrete-quantile kernel (see ``q_group_quantiles``
+    for semantics): supergroup co-location + one vectorized RLE pass per
+    group batch, emitting (key, n, p50, p90)."""
+    from .ops import supergroup_agg
 
     def quantiles_vectorized(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_custkey", "o_totalprice"], kind="stable")
-        k = g.o_custkey.to_numpy()
-        v = g.o_totalprice.to_numpy(np.float64)
+        g = g.sort_values([key, col], kind="stable")
+        k = g[key].to_numpy()
+        v = g[col].to_numpy(np.float64)
         new = np.concatenate([[True], k[1:] != k[:-1]])
         starts = np.flatnonzero(new)
         counts = np.diff(np.append(starts, k.size))
@@ -441,23 +461,21 @@ def q_group_quantiles(sf_dir: str) -> pd.DataFrame:
         i90 = starts + (counts * 9 + 9) // 10 - 1
         return pd.DataFrame(
             {
-                "o_custkey": k[starts],
+                key: k[starts],
                 "n": counts.astype(np.int64),
-                "p50": np.round(v[i50], 2),
-                "p90": np.round(v[i90], 2),
+                "p50": v[i50],
+                "p90": v[i90],
             }
         )
 
-    res = supergroup_agg(
+    return supergroup_agg(
         ds,
-        ["o_custkey"],
+        [key],
         lambda df: df,
         quantiles_vectorized,
-        num_rows_hint=_nrows(sf_dir, "orders"),
+        num_rows_hint=num_rows_hint,
+        num_groups=num_groups,
     )
-    df = res.to_pandas().sort_values("o_custkey").reset_index(drop=True)
-    df["n"] = df.n.astype(np.int64)
-    return df[["o_custkey", "n", "p50", "p90"]]
 
 
 @query(

@@ -194,3 +194,92 @@ def test_derive_join_partitions():
     assert derive_join_partitions(10_000_000, 500) == 10_000_000 // 65536
     # clamped at the ceiling
     assert derive_join_partitions(10**12) == 512
+
+
+class TestSupergroupFullHistoryOps:
+    """The full-history supergroup family (quantiles, funnel, outer merges)
+    must be invariant to the super-group fan-out AND match a plain-pandas
+    brute force — the merge sees each key's complete history by
+    construction, whatever num_groups is."""
+
+    def test_group_quantiles_invariant(self, ray_session):
+        from citygml2objv2_ray.ops import supergroup_agg
+
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame(
+            {
+                "k": rng.integers(0, 500, size=10_000).astype(np.int64),
+                "v": rng.normal(size=10_000).round(6),
+            }
+        )
+
+        def brute(g: pd.DataFrame) -> tuple:
+            v = np.sort(g.v.to_numpy())
+            n = v.size
+            return v[(n + 1) // 2 - 1], v[(n * 9 + 9) // 10 - 1]
+
+        want = {
+            int(k): brute(g) for k, g in df.groupby("k")
+        }
+
+        def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["k", "v"], kind="stable")
+            k = g.k.to_numpy()
+            v = g.v.to_numpy()
+            new = np.concatenate([[True], k[1:] != k[:-1]])
+            starts = np.flatnonzero(new)
+            counts = np.diff(np.append(starts, k.size))
+            return pd.DataFrame(
+                {
+                    "k": k[starts],
+                    "p50": v[starts + (counts + 1) // 2 - 1],
+                    "p90": v[starts + (counts * 9 + 9) // 10 - 1],
+                }
+            )
+
+        for ng in (4, 64):
+            ds = rd.from_pandas(df).repartition(8)
+            got = (
+                supergroup_agg(ds, ["k"], lambda d: d, quantiles, num_groups=ng)
+                .to_pandas()
+                .sort_values("k")
+                .reset_index(drop=True)
+            )
+            assert len(got) == len(want)
+            for _, row in got.iterrows():
+                w50, w90 = want[int(row.k)]
+                assert row.p50 == w50 and row.p90 == w90
+
+    def test_set_ops_bitmask_invariant(self, ray_session):
+        """Distinct (key, bit) pairs + per-key sum == OR of disjoint bits,
+        at any fan-out and any input duplication."""
+        from citygml2objv2_ray.ops import supergroup_agg
+
+        rng = np.random.default_rng(7)
+        n = 5_000
+        df = pd.DataFrame(
+            {
+                "k": rng.integers(0, 400, size=n).astype(np.int64),
+                "bit": rng.choice([1, 2], size=n).astype(np.int64),
+            }
+        )
+        want = (
+            df.drop_duplicates()
+            .groupby("k")["bit"].sum()
+            .astype(int)
+            .to_dict()
+        )
+
+        def partial(d: pd.DataFrame) -> pd.DataFrame:
+            return d.drop_duplicates()
+
+        def merge(d: pd.DataFrame) -> pd.DataFrame:
+            return d.drop_duplicates().groupby("k", as_index=False)["bit"].sum()
+
+        for ng in (4, 64):
+            ds = rd.from_pandas(df).repartition(8)
+            got = (
+                supergroup_agg(ds, ["k"], partial, merge, num_groups=ng)
+                .to_pandas()
+            )
+            assert {int(r.k): int(r.bit) for _, r in got.iterrows()} == want
