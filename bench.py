@@ -138,6 +138,8 @@ def run_bench() -> dict:
         "q_full_outer_join",
         "q_set_ops",
         "q_gap_fill",
+        "q_above_group_avg",
+        "q_moving_avg",
     ]:
         fn = relational.REGISTRY[name]
         t0 = time.perf_counter()

@@ -1362,3 +1362,85 @@ def q_gap_fill(sf_dir: str) -> pd.DataFrame:
     out = spine.merge(fine[["priority", "month", "n"]], on=["priority", "month"], how="left")
     out["n"] = out.n.fillna(0).astype(np.int64)
     return out.sort_values(["priority", "month"]).reset_index(drop=True)
+
+
+@query(
+    "q_above_group_avg",
+    """
+    SELECT o.o_orderkey, o.o_custkey, ROUND(o.o_totalprice, 2) AS o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
+                            WHERE o2.o_custkey = o.o_custkey)
+    ORDER BY o.o_orderkey
+    """,
+)
+def q_above_group_avg(sf_dir: str) -> pd.DataFrame:
+    """Correlated-subquery decorrelation (orders above their own customer's
+    average): the classic rewrite — aggregate per key, rejoin, filter —
+    done in ONE supergroup shuffle instead of aggregate + join: each key's
+    full rows co-locate, the group computes every key's mean with a
+    vectorized transform and filters in place. No second pass over the
+    data, no join operator, exact float parity (same sum/count division
+    DuckDB performs per key)."""
+    from .ops import supergroup_agg
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def above_avg(g: pd.DataFrame) -> pd.DataFrame:
+        avg = g.groupby("o_custkey")["o_totalprice"].transform("mean")
+        out = g[g.o_totalprice > avg].copy()
+        return out
+
+    res = supergroup_agg(
+        ds,
+        ["o_custkey"],
+        lambda df: df,
+        above_avg,
+        num_rows_hint=_nrows(sf_dir, "orders"),
+    )
+    df = res.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    df["o_totalprice"] = df.o_totalprice.round(2)
+    return df[["o_orderkey", "o_custkey", "o_totalprice"]]
+
+
+@query(
+    "q_moving_avg",
+    """
+    WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                      SUM(o_totalprice) AS rev
+               FROM orders GROUP BY 1)
+    SELECT month, ROUND(rev, 2) AS month_revenue,
+           ROUND(AVG(rev) OVER (ORDER BY month
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+               AS ma3
+    FROM m ORDER BY month
+    """,
+)
+def q_moving_avg(sf_dir: str) -> pd.DataFrame:
+    """3-month trailing moving average of revenue — the bounded-frame
+    window cousin of ``q_running_total``: aggregate to the month grain with
+    one partial-combine groupby (the only data-scale stage), then the
+    ROWS-frame window runs vectorized over the bounded aggregate
+    (``rolling(3, min_periods=1)``). Same divisor semantics as SQL AVG
+    OVER a short leading frame (frame size, not 3) — pandas min_periods
+    matches exactly."""
+    from .ops import partial_groupby_sum
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate", "o_totalprice"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"month": df.o_orderdate.dt.strftime("%Y-%m"), "rev": df.o_totalprice}
+        )
+
+    fine = (
+        partial_groupby_sum(
+            ds.map_batches(keyed, batch_format="pandas"), ["month"], ["rev"]
+        )
+        .to_pandas()
+        .sort_values("month", kind="stable")
+        .reset_index(drop=True)
+    )
+    fine["ma3"] = fine.sum_rev.rolling(3, min_periods=1).mean().round(2)
+    fine["month_revenue"] = fine.sum_rev.round(2)
+    return fine[["month", "month_revenue", "ma3"]]
