@@ -140,6 +140,7 @@ def run_bench() -> dict:
         "q_gap_fill",
         "q_above_group_avg",
         "q_moving_avg",
+        "q_stream_dedup",
     ]:
         fn = relational.REGISTRY[name]
         t0 = time.perf_counter()

@@ -142,3 +142,101 @@ def q_stream_window_hourly(sf_dir: str) -> pd.DataFrame:
     batch window SQL."""
     df, _ = stream_window_hourly(sf_dir)
     return df
+
+
+@ray.remote
+class StreamingDeduper:
+    """Actor pool shard for streaming exact dedup: holds the seen-key set
+    for ITS hash range and emits only first occurrences, incrementally.
+    Keys are sharded by hash so each actor's state is ~(distinct keys /
+    n_shards) — the 100 TB form is this same pool with more shards (state
+    never concentrates), exactly the brief's "shared mutable index" case
+    that a stateless map can't express."""
+
+    def __init__(self):
+        self.seen: set = set()
+        self.n_dropped = 0
+
+    def ingest(self, df: pd.DataFrame) -> pd.DataFrame:
+        """One arrival-order micro-batch slice (this shard's keys only) →
+        the rows whose key is seen for the FIRST time, in arrival order."""
+        first_in_batch = ~df["key"].duplicated()
+        novel_mask = first_in_batch & ~df["key"].isin(self.seen)
+        out = df[novel_mask]
+        self.seen.update(out["key"].tolist())
+        self.n_dropped += int(len(df) - len(out))
+        return out
+
+    def stats(self) -> dict:
+        return {"n_seen": len(self.seen), "n_dropped": self.n_dropped}
+
+
+def stream_dedup_first(
+    sf_dir: str, n_shards: int = 4, batch_size: int = 8192
+) -> tuple[pd.DataFrame, dict]:
+    """Streaming exact dedup of the events table on (user_id, event_type)
+    in ARRIVAL order: each micro-batch is hash-sharded across the actor
+    pool, every shard emits its first occurrences incrementally, and the
+    union of emissions is the keep-first dedup of the whole stream. With
+    arrival order == table order, the finalized output EQUALS the batch
+    keep-first-by-arrival dedup — a free SQL oracle, like the windowed
+    stream above."""
+    import ray.data as rd
+
+    from .relational import _t
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "event_type"])
+    shards = [StreamingDeduper.remote() for _ in range(n_shards)]
+    pending: list = []
+    seq = 0
+    for batch in ds.iter_batches(batch_format="pandas", batch_size=batch_size):
+        batch = batch.assign(
+            key=batch.user_id.astype(str) + "\x00" + batch.event_type.astype(str),
+            _seq=np.arange(seq, seq + len(batch)),
+        )
+        seq += len(batch)
+        h = pd.util.hash_pandas_object(batch.key, index=False).to_numpy()
+        shard_of = (h % n_shards).astype(np.int64)
+        # one ingest per shard per micro-batch, all in flight concurrently
+        pending.append(
+            [
+                shards[s].ingest.remote(batch[shard_of == s])
+                for s in range(n_shards)
+            ]
+        )
+    parts = [df for futs in pending for df in ray.get(futs) if len(df)]
+    stats_list = ray.get([s.stats.remote() for s in shards])
+    for s in shards:
+        ray.kill(s)
+    out = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
+        columns=["event_id", "user_id", "event_type", "key", "_seq"]
+    )
+    # arrival order within the stream = _seq; emissions are per-shard but
+    # each key's first arrival is unique, so sorting by _seq restores it
+    out = out.sort_values("_seq").reset_index(drop=True)
+    stats = {
+        "n_seen": int(sum(s["n_seen"] for s in stats_list)),
+        "n_dropped": int(sum(s["n_dropped"] for s in stats_list)),
+    }
+    return out[["event_id", "user_id", "event_type"]], stats
+
+
+@query(
+    "q_stream_dedup",
+    """
+    SELECT event_id, user_id, event_type
+    FROM (SELECT event_id, user_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY event_id) AS rn
+          FROM events)
+    WHERE rn = 1 ORDER BY event_id
+    """,
+)
+def q_stream_dedup(sf_dir: str) -> pd.DataFrame:
+    """Streaming keep-first dedup (sharded stateful actor pool, incremental
+    emission) must equal the batch keep-first-by-arrival-order dedup.
+    Arrival order is the parquet read order, which for the events table is
+    event_id order — so the SQL twin anchors ROW_NUMBER on event_id
+    (deterministic under any DuckDB scan parallelism)."""
+    df, _ = stream_dedup_first(sf_dir)
+    return df.sort_values("event_id").reset_index(drop=True)

@@ -78,3 +78,40 @@ class TestStreamWindow:
         # only the [400,500) window remains; the finalized [200,300) is untouched
         assert [(r["window_start"], r["n"]) for r in rest] == [(400, 1)]
         ray.kill(agg)
+
+
+class TestStreamingDedup:
+    def test_incremental_emission_and_exactly_once(self, ray_session):
+        """Each key is emitted exactly once, in the micro-batch of its
+        FIRST arrival; later occurrences only bump n_dropped."""
+        import ray as _ray
+
+        from citygml2objv2_ray.streaming import StreamingDeduper
+
+        d = StreamingDeduper.remote()
+        b1 = pd.DataFrame({"key": ["a", "b", "a"], "v": [1, 2, 3]})
+        out1 = _ray.get(d.ingest.remote(b1))
+        assert out1.key.tolist() == ["a", "b"] and out1.v.tolist() == [1, 2]
+        b2 = pd.DataFrame({"key": ["b", "c"], "v": [4, 5]})
+        out2 = _ray.get(d.ingest.remote(b2))
+        assert out2.key.tolist() == ["c"] and out2.v.tolist() == [5]
+        stats = _ray.get(d.stats.remote())
+        assert stats == {"n_seen": 3, "n_dropped": 2}
+        _ray.kill(d)
+
+    def test_stream_equals_batch_dedup(self, ray_session):
+        """Sharded pool union == single-pass keep-first over arrival order."""
+        from citygml2objv2_ray.streaming import stream_dedup_first
+
+        df, stats = stream_dedup_first("/root/testdata/sf0.001", n_shards=3)
+        import duckdb
+
+        want = duckdb.sql(
+            """SELECT event_id FROM (
+                 SELECT event_id, ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type ORDER BY event_id) rn
+                 FROM read_parquet('/root/testdata/sf0.001/events.parquet'))
+               WHERE rn = 1 ORDER BY event_id"""
+        ).df()
+        assert sorted(df.event_id.tolist()) == want.event_id.tolist()
+        assert stats["n_seen"] == len(want)
