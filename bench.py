@@ -141,6 +141,7 @@ def run_bench() -> dict:
         "q_above_group_avg",
         "q_moving_avg",
         "q_stream_dedup",
+        "q_model_score",
     ]:
         fn = relational.REGISTRY[name]
         t0 = time.perf_counter()

@@ -866,3 +866,77 @@ def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
 
     res = ds.groupby("label").map_groups(pairs_in_group, batch_format="pandas")
     return res.to_pandas().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+class LinearScorer:
+    """Batched model-inference stage in the brief's canonical actor-pool
+    shape: the 'model' (a weight vector + bias here; a real checkpoint in
+    production) is fetched from the object store ONCE per actor in
+    ``__init__``, and ``__call__`` scores each batch with one f64 GEMV —
+    never per row, never re-fetched per batch. Swap the weight vector for
+    any batched model and the plumbing (schema, concurrency, zero-copy
+    batch flow) is unchanged."""
+
+    def __init__(self, weights_ref):
+        import ray as _ray
+
+        w = _ray.get(weights_ref)
+        self.w = np.asarray(w["w"], dtype=np.float64)
+        self.b = float(w["b"])
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df.embedding.to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {"vec_id": df.vec_id.to_numpy(np.int64), "score": m @ self.w + self.b}
+        )
+
+
+def _scorer_weights(dim: int = 64) -> dict:
+    """Deterministic fake 'checkpoint' (seeded), rounded so the exact same
+    constants embed verbatim into the generated SQL twin."""
+    rng = np.random.default_rng(421)
+    return {"w": np.round(rng.normal(size=dim), 6), "b": 0.125}
+
+
+def _q_model_score_sql() -> str:
+    w = _scorer_weights()
+    wlist = ", ".join(repr(float(x)) for x in w["w"])
+    return f"""
+    SELECT vec_id,
+           ROUND(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  [{wlist}]) + 0.125, 6) AS score
+    FROM embeddings
+    ORDER BY score DESC, vec_id LIMIT 20
+    """
+
+
+@query("q_model_score", _q_model_score_sql())
+def q_model_score(sf_dir: str) -> pd.DataFrame:
+    """Top-20 vectors under a broadcast linear model — the batched-
+    inference pattern as a first-class query: weights ``ray.put`` once,
+    ``map_batches(LinearScorer, concurrency=4)`` actor pool (init-once
+    model load), per-batch partial top-k so only k rows per batch reach
+    the driver. The SQL twin embeds the identical seeded weight constants
+    and recomputes the dot product in f64 — inference output is
+    hash-checked, not just smoke-tested."""
+    import ray
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    wref = ray.put(_scorer_weights())
+    K = 20
+
+    scored = ds.map_batches(
+        LinearScorer,
+        fn_constructor_kwargs={"weights_ref": wref},
+        batch_format="pandas",
+        concurrency=4,
+    )
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["score", "vec_id"], ascending=[False, True]).head(K)
+
+    parts = scored.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    top = parts.sort_values(["score", "vec_id"], ascending=[False, True]).head(K)
+    top = top.reset_index(drop=True)
+    top["score"] = top.score.round(6)
+    return top[["vec_id", "score"]]
