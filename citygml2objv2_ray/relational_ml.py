@@ -925,11 +925,16 @@ def q_model_score(sf_dir: str) -> pd.DataFrame:
     wref = ray.put(_scorer_weights())
     K = 20
 
+    # size the pool BELOW the session's CPU count: an actor pool that
+    # reserves every CPU starves the upstream read tasks (measured: a
+    # 4-actor pool in a 4-CPU session deadlocks until the pool timeout)
+    n_cpus = int(ray.cluster_resources().get("CPU", 4))
+    pool = max(1, min(4, n_cpus - 2))
     scored = ds.map_batches(
         LinearScorer,
         fn_constructor_kwargs={"weights_ref": wref},
         batch_format="pandas",
-        concurrency=4,
+        concurrency=pool,
     )
 
     def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
