@@ -142,6 +142,7 @@ def run_bench() -> dict:
         "q_moving_avg",
         "q_stream_dedup",
         "q_model_score",
+        "q_cms_counts",
     ]:
         fn = relational.REGISTRY[name]
         t0 = time.perf_counter()

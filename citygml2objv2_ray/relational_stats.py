@@ -613,3 +613,85 @@ def q_correlation(sf_dir: str) -> pd.DataFrame:
     )
     r = agg["sxy"] / np.sqrt(agg["sxx"] * agg["syy"])
     return pd.DataFrame([{"r": round(float(r), 6), "n": np.int64(n)}])
+
+
+_CMS_D, _CMS_W = 4, 1024
+_CMS_PROBES = ("the", "model", "data", "quick", "zebra")
+
+
+def _cms_bucket(j: int, term: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5((str(j) + term).encode()).hexdigest()[:8], 16) % _CMS_W
+
+
+def _q_cms_sql() -> str:
+    rows = []
+    for p in _CMS_PROBES:
+        mins = ", ".join(
+            f"(SELECT COUNT(*) FROM b WHERE b{j} = {_cms_bucket(j, p)})"
+            for j in range(_CMS_D)
+        )
+        rows.append(f"SELECT '{p}' AS term, CAST(LEAST({mins}) AS BIGINT) AS est")
+    union = "\n    UNION ALL ".join(rows)
+    bucket_cols = ", ".join(
+        f"CAST(CONCAT('0x', substr(md5(CONCAT('{j}', term)), 1, 8)) AS BIGINT) "
+        f"% {_CMS_W} AS b{j}"
+        for j in range(_CMS_D)
+    )
+    return f"""
+    WITH terms AS (SELECT unnest(string_split(trim(text), ' ')) AS term
+                   FROM documents WHERE trim(text) <> ''),
+         b AS (SELECT term, {bucket_cols} FROM terms)
+    {union}
+    ORDER BY term
+    """
+
+
+@query("q_cms_counts", _q_cms_sql())
+def q_cms_counts(sf_dir: str) -> pd.DataFrame:
+    """Count-Min sketch, made DETERMINISTIC (md5 row hashes) so the whole
+    sketch — collisions included — is SQL-checkable: the twin recomputes
+    each probe's bucket per hash row and counts EVERY colliding term
+    occurrence, i.e. the exact CMS estimate min_j M[j][h_j(p)]. The Ray
+    side builds the d x w matrix from per-batch (row, bucket, n) partials
+    (at most d*w rows per batch cross the shuffle regardless of corpus
+    size); the matrix is order-insensitive and mergeable, the right sketch
+    shape for a streaming executor. Overestimate-only guarantee asserted
+    in pytest."""
+    import hashlib
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        stripped = df.text.fillna("").str.strip()
+        terms = stripped[stripped != ""].str.split(" ").explode()
+        vc = terms.value_counts()
+        uniq = vc.index.to_numpy()
+        cnt = vc.to_numpy(np.int64)
+        out = []
+        for j in range(_CMS_D):
+            b = np.array(
+                [
+                    int(hashlib.md5((str(j) + t).encode()).hexdigest()[:8], 16) % _CMS_W
+                    for t in uniq
+                ],
+                dtype=np.int64,
+            )
+            g = pd.DataFrame({"row": j, "bucket": b, "n": cnt})
+            out.append(g.groupby(["row", "bucket"], as_index=False)["n"].sum())
+        return pd.concat(out, ignore_index=True)
+
+    agg = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby(["row", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: d*w rows
+    )
+    M = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    M[agg.row.to_numpy(), agg.bucket.to_numpy()] = agg.n.to_numpy()
+    ests = [
+        int(min(M[j, _cms_bucket(j, p)] for j in range(_CMS_D))) for p in _CMS_PROBES
+    ]
+    out = pd.DataFrame({"term": _CMS_PROBES, "est": np.array(ests, dtype=np.int64)})
+    return out.sort_values("term").reset_index(drop=True)
