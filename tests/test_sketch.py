@@ -93,3 +93,35 @@ class TestHeavyHitters:
         # identical result again (block nondeterminism must not leak out)
         again = relational.REGISTRY["q_heavy_hitters"](sf)
         pd.testing.assert_frame_equal(got, again)
+
+
+class TestCountMin:
+    def test_overestimate_only_and_bucket_parity(self, ray_session):
+        """CMS never underestimates, and the Ray-side bucket function is
+        the one embedded in the generated SQL."""
+        import duckdb
+
+        from citygml2objv2_ray.relational_stats import (
+            _CMS_PROBES,
+            _cms_bucket,
+            q_cms_counts,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        est = q_cms_counts(sf)
+        true = duckdb.sql(
+            f"""SELECT term, COUNT(*) n FROM (
+                  SELECT unnest(string_split(trim(text), ' ')) AS term
+                  FROM read_parquet('{sf}/documents.parquet')
+                  WHERE trim(text) <> '')
+                GROUP BY term"""
+        ).df()
+        tm = dict(zip(true.term, true.n))
+        for _, row in est.iterrows():
+            assert row.est >= tm.get(row.term, 0), row.term
+        # bucket parity with the SQL twin's md5 arithmetic
+        got = duckdb.sql(
+            "SELECT CAST(CONCAT('0x', substr(md5(CONCAT('2', 'the')), 1, 8)) AS BIGINT) % 1024"
+        ).fetchone()[0]
+        assert got == _cms_bucket(2, "the")
+        assert len(est) == len(_CMS_PROBES)
