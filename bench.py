@@ -143,6 +143,7 @@ def run_bench() -> dict:
         "q_stream_dedup",
         "q_model_score",
         "q_cms_counts",
+        "q_partition_pruned_scan",
     ]:
         fn = relational.REGISTRY[name]
         t0 = time.perf_counter()

@@ -1444,3 +1444,64 @@ def q_moving_avg(sf_dir: str) -> pd.DataFrame:
     fine["ma3"] = fine.sum_rev.rolling(3, min_periods=1).mean().round(2)
     fine["month_revenue"] = fine.sum_rev.round(2)
     return fine[["month", "month_revenue", "ma3"]]
+
+
+@query(
+    "q_partition_pruned_scan",
+    """
+    SELECT l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def q_partition_pruned_scan(sf_dir: str) -> pd.DataFrame:
+    """Read-side partition pruning as a first-class query: the fact table
+    is written ONCE (cached) as hive-partitioned parquet on the filter
+    column, and the query's read opens ONLY the matching partition
+    directory — the predicate never runs, the other partitions' bytes
+    never leave storage. At 100 TB this is the difference between a full
+    scan + filter and touching 1/|partitions| of the data; same layout
+    the flagship's resume pruning and the IVF centroid partitions use."""
+    import hashlib
+    import os
+
+    import ray.data as rd
+
+    from .ops import derive_num_blocks, parquet_num_rows
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    tag = hashlib.md5(src.encode()).hexdigest()[:10]
+    root = f"/tmp/citygml2objv2_ray_part/lineitem-{tag}"
+    done = os.path.join(root, "_DONE")
+    if not os.path.exists(done):
+        ds = rd.read_parquet(
+            src,
+            columns=["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"],
+        )
+        ds.write_parquet(root, partition_cols=["l_returnflag"])
+        with open(done, "w") as fh:
+            fh.write("ok")
+
+    part = os.path.join(root, "l_returnflag=R")
+    pruned = rd.read_parquet(
+        part,
+        columns=["l_linestatus", "l_extendedprice", "l_discount"],
+        override_num_blocks=derive_num_blocks(parquet_num_rows(part)),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(revenue=df.l_extendedprice * (1 - df.l_discount))
+        return df.groupby("l_linestatus", sort=False, as_index=False).agg(
+            n=("revenue", "size"), revenue=("revenue", "sum")
+        )
+
+    agg = (
+        pruned.map_batches(partial, batch_format="pandas")
+        .groupby("l_linestatus")
+        .aggregate(Sum("n", alias_name="n"), Sum("revenue", alias_name="revenue"))
+    )
+    df = agg.to_pandas().sort_values("l_linestatus").reset_index(drop=True)
+    df["n"] = df.n.astype(np.int64)
+    df["revenue"] = df.revenue.round(2)
+    return df[["l_linestatus", "n", "revenue"]]
