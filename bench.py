@@ -144,6 +144,7 @@ def run_bench() -> dict:
         "q_model_score",
         "q_cms_counts",
         "q_partition_pruned_scan",
+        "q_interval_join",
     ]:
         fn = relational.REGISTRY[name]
         t0 = time.perf_counter()

@@ -1505,3 +1505,76 @@ def q_partition_pruned_scan(sf_dir: str) -> pd.DataFrame:
     df["n"] = df.n.astype(np.int64)
     df["revenue"] = df.revenue.round(2)
     return df[["l_linestatus", "n", "revenue"]]
+
+
+@query(
+    "q_interval_join",
+    """
+    WITH d AS (SELECT user_id, event_id, event_type,
+                      CAST(epoch_us(ts) AS BIGINT) AS e FROM events),
+         p AS (SELECT user_id, event_id, e FROM d WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, e FROM d WHERE event_type = 'click')
+    SELECT p.event_id AS purchase_id,
+           CAST(COUNT(c.e) AS BIGINT) AS n_recent_clicks
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id AND c.e >= p.e - 1800000000 AND c.e <= p.e
+    GROUP BY p.event_id ORDER BY purchase_id
+    """,
+)
+def q_interval_join(sf_dir: str) -> pd.DataFrame:
+    """Interval (windowed) join — clicks in the 30 minutes up to each
+    purchase, per user — WITHOUT expanding the pair space: inside each user
+    super-group, two backward as-of lookups against the per-user click
+    cumcount give the inclusive window count as cum(<=e) - cum(<=e-W-1),
+    vectorized across every user at once (``merge_asof(by=user)``). The
+    naive range join is O(clicks x purchases) per user; this is
+    O((clicks + purchases) log) with only (user, epoch) pairs crossing the
+    shuffle — the stream-stream windowed-join shape at batch scale."""
+    from .ops import supergroup_agg
+
+    W = 1_800_000_000  # 30 min in µs
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"])
+
+    def to_epoch(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.event_type.isin(["click", "purchase"])]
+        return pd.DataFrame(
+            {
+                "user_id": df.user_id,
+                "event_id": df.event_id,
+                "event_type": df.event_type,
+                "e": df.ts.values.astype("datetime64[us]").astype(np.int64),
+            }
+        )
+
+    def window_count(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = g[g.event_type == "click"][["user_id", "e"]].sort_values(
+            ["e", "user_id"], kind="stable"
+        )
+        clicks = clicks.assign(
+            cum=clicks.groupby("user_id", sort=False).cumcount().to_numpy() + 1
+        )
+        pur = g[g.event_type == "purchase"][["user_id", "event_id", "e"]]
+        if not len(pur):
+            return pd.DataFrame({"purchase_id": pd.Series(dtype=np.int64),
+                                 "n_recent_clicks": pd.Series(dtype=np.int64)})
+        hi = pur.sort_values("e", kind="stable")
+        a1 = pd.merge_asof(hi, clicks, on="e", by="user_id", direction="backward")
+        lo = hi.assign(e=hi.e - W - 1)
+        a2 = pd.merge_asof(lo.sort_values("e", kind="stable"), clicks, on="e",
+                           by="user_id", direction="backward")
+        c1 = a1.set_index("event_id").cum.fillna(0)
+        c2 = a2.set_index("event_id").cum.fillna(0)
+        n = (c1 - c2.reindex(c1.index)).astype(np.int64)
+        return pd.DataFrame({"purchase_id": n.index.to_numpy(np.int64),
+                             "n_recent_clicks": n.to_numpy()})
+
+    res = supergroup_agg(
+        ds.map_batches(to_epoch, batch_format="pandas"),
+        ["user_id"],
+        lambda df: df,
+        window_count,
+        num_rows_hint=_nrows(sf_dir, "events"),
+    )
+    df = res.to_pandas().sort_values("purchase_id").reset_index(drop=True)
+    df["n_recent_clicks"] = df.n_recent_clicks.astype(np.int64)
+    return df[["purchase_id", "n_recent_clicks"]]
