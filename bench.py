@@ -145,6 +145,7 @@ def run_bench() -> dict:
         "q_cms_counts",
         "q_partition_pruned_scan",
         "q_interval_join",
+        "q_string_agg",
     ]:
         fn = relational.REGISTRY[name]
         t0 = time.perf_counter()

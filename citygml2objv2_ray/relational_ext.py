@@ -1578,3 +1578,51 @@ def q_interval_join(sf_dir: str) -> pd.DataFrame:
     df = res.to_pandas().sort_values("purchase_id").reset_index(drop=True)
     df["n_recent_clicks"] = df.n_recent_clicks.astype(np.int64)
     return df[["purchase_id", "n_recent_clicks"]]
+
+
+@query(
+    "q_string_agg",
+    """
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_string_agg(sf_dir: str) -> pd.DataFrame:
+    """Ordered-distinct string aggregation per key (array_agg/string_agg)
+    with ZERO per-key string building: the small categorical domain maps
+    each type to a bit, the per-user OR rides the same distinct-pair-sum
+    shuffle as ``q_set_ops``, and the final join string is a LOOKUP into
+    the 2^|domain| precomputed strings — vectorized ``Series.map`` over
+    int masks, no Python join per user at any cardinality. (For unbounded
+    domains the fallback is a per-group join over the supergroup — this is
+    the high-cardinality-key, small-domain fast path a log/event table
+    almost always satisfies.)"""
+    from .ops import supergroup_agg
+
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+    BIT = {t: 1 << i for i, t in enumerate(TYPES)}
+    MASK_STR = {
+        m: ",".join(t for t in TYPES if m & BIT[t]) for m in range(1 << len(TYPES))
+    }
+    MASK_N = {m: bin(m).count("1") for m in range(1 << len(TYPES))}
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"user_id": df.user_id, "bit": df.event_type.map(BIT).astype(np.int64)}
+        )
+        return out.drop_duplicates()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.drop_duplicates().groupby("user_id", sort=False, as_index=False)["bit"].sum()
+        m["types"] = m.bit.map(MASK_STR)
+        m["n_types"] = m.bit.map(MASK_N).astype(np.int64)
+        return m[["user_id", "types", "n_types"]]
+
+    res = supergroup_agg(
+        ds, ["user_id"], partial, merge, num_rows_hint=_nrows(sf_dir, "events")
+    )
+    return res.to_pandas().sort_values("user_id").reset_index(drop=True)
