@@ -1470,18 +1470,27 @@ def q_partition_pruned_scan(sf_dir: str) -> pd.DataFrame:
 
     from .ops import derive_num_blocks, parquet_num_rows
 
+    import uuid as _uuid
+
     src = os.path.join(sf_dir, "lineitem.parquet")
     tag = hashlib.md5(src.encode()).hexdigest()[:10]
     root = f"/tmp/citygml2objv2_ray_part/lineitem-{tag}"
-    done = os.path.join(root, "_DONE")
-    if not os.path.exists(done):
+    if not os.path.isdir(root):
+        # write-once cache, atomic against concurrent processes (bench +
+        # driver gate): build under a unique temp dir, publish via rename;
+        # a lost race means someone else's identical layout is in place
+        tmp = f"{root}.tmp-{_uuid.uuid4().hex[:8]}"
         ds = rd.read_parquet(
             src,
             columns=["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"],
         )
-        ds.write_parquet(root, partition_cols=["l_returnflag"])
-        with open(done, "w") as fh:
-            fh.write("ok")
+        ds.write_parquet(tmp, partition_cols=["l_returnflag"])
+        try:
+            os.rename(tmp, root)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
 
     part = os.path.join(root, "l_returnflag=R")
     pruned = rd.read_parquet(
