@@ -309,8 +309,23 @@ def ivf_query_cached(
     index_dir = ivf_index_dir_for(embeddings_path, n_lists, seed)
     marker = index_dir.rstrip("/") + ".centers.npy"
     if not os.path.exists(marker):
+        # atomic publish: build under a unique temp dir so a concurrent
+        # builder (bench + driver gate) can't interleave partition files
+        # into the same index; rename is last-wins on the same layout
+        import shutil
+        import uuid as _uuid
+
+        tmp_dir = f"{index_dir.rstrip('/')}.tmp-{_uuid.uuid4().hex[:8]}"
         ds = rd.read_parquet(embeddings_path, columns=["vec_id", "embedding"])
-        ivf_build_partitioned(ds, index_dir, n_lists=n_lists, max_train=max_train, seed=seed)
+        ivf_build_partitioned(ds, tmp_dir, n_lists=n_lists, max_train=max_train, seed=seed)
+        tmp_marker = tmp_dir.rstrip("/") + ".centers.npy"
+        try:
+            os.rename(tmp_dir, index_dir)
+        except OSError:  # lost the race — an identical index is in place
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            os.remove(tmp_marker)
+        else:
+            os.replace(tmp_marker, marker)  # marker LAST: its existence gates reuse
     return ivf_search_partitioned(
         index_dir, query_vec_ids, k=k, nprobe=nprobe, query_source=embeddings_path
     )
