@@ -146,6 +146,8 @@ def run_bench() -> dict:
         "q_partition_pruned_scan",
         "q_interval_join",
         "q_string_agg",
+        "q_json_source",
+        "q_csv_source",
     ]:
         fn = relational.REGISTRY[name]
         t0 = time.perf_counter()

@@ -1635,3 +1635,70 @@ def q_string_agg(sf_dir: str) -> pd.DataFrame:
         ds, ["user_id"], partial, merge, num_rows_hint=_nrows(sf_dir, "events")
     )
     return res.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+def _format_cache(sf_dir: str, fmt: str):
+    """Write-once (atomic-publish) copy of the events table in another
+    wire format, for the multi-format ingestion queries."""
+    import hashlib
+    import os
+    import shutil
+    import uuid as _uuid
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.md5(src.encode()).hexdigest()[:10]
+    root = f"/tmp/citygml2objv2_ray_fmt/events-{fmt}-{tag}"
+    if os.path.isdir(root):
+        return root
+    tmp = f"{root}.tmp-{_uuid.uuid4().hex[:8]}"
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    if fmt == "json":
+        ds.write_json(tmp)
+    else:
+        ds.write_csv(tmp)
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return root
+
+
+def _events_by_type_from(ds: rd.Dataset) -> pd.DataFrame:
+    from .ops import partial_groupby_sum
+
+    agg = partial_groupby_sum(ds, "event_type", ["value"])
+    df = agg.to_pandas().sort_values("event_type").reset_index(drop=True)
+    df["n"] = df.n.astype(np.int64)
+    df["sum_value"] = df.sum_value.round(4)
+    return df[["event_type", "n", "sum_value"]]
+
+
+_FMT_SQL = """
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("q_json_source", _FMT_SQL)
+def q_json_source(sf_dir: str) -> pd.DataFrame:
+    """Multi-format ingestion: the events table round-trips through JSONL
+    (``write_json`` once, cached atomically; ``read_json`` streams it back
+    as Arrow blocks) and must aggregate to exactly the parquet truth —
+    the same pipeline works when the 100 TB corpus arrives as JSON logs
+    instead of parquet."""
+    root = _format_cache(sf_dir, "json")
+    ds = rd.read_json(root).map_batches(
+        lambda df: df[["event_type", "value"]], batch_format="pandas"
+    )
+    return _events_by_type_from(ds)
+
+
+@query("q_csv_source", _FMT_SQL)
+def q_csv_source(sf_dir: str) -> pd.DataFrame:
+    """Multi-format ingestion, CSV flavor (header-typed ``read_csv``):
+    same contract as ``q_json_source`` — format-independent results."""
+    root = _format_cache(sf_dir, "csv")
+    ds = rd.read_csv(root).map_batches(
+        lambda df: df[["event_type", "value"]], batch_format="pandas"
+    )
+    return _events_by_type_from(ds)
