@@ -266,6 +266,55 @@ def _q_image_exact_dup(sf_dir: str):
     return df[["keep_img", "n"]]
 
 
+def _q_hot_cells(sf_dir: str):
+    """Hot-cell detection over the images table — the north rule's
+    'skew-salted groupby-shuffle for hot urban cells' on its literal
+    domain: the synthetic city forces ~30% of images into ONE cell
+    (``synth.HOT_FRACTION``), so a plain per-cell groupby sends a third of
+    the table to one reducer; ``ops.salted_groupby`` splits each hot cell
+    across salt sub-buckets, partial-reduces on different reducers, and
+    merges in a tiny final pass. Output: top-20 densest cells."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from citygml2objv2_ray import worlds
+    from citygml2objv2_ray.ops import derive_num_blocks, parquet_num_rows, salted_groupby
+    from citygml2objv2_ray.stages.images import cell_encode
+
+    images_path, _, _ = worlds.load_world(worlds.sf_of_dir(sf_dir))
+    ds = rd.read_parquet(
+        images_path,
+        columns=["cx", "cy"],
+        override_num_blocks=derive_num_blocks(parquet_num_rows(images_path)),
+    ).map_batches(cell_encode, batch_format="pyarrow")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["cell"]].copy()
+        out["n"] = 1
+        return out
+
+    def reduce_batch(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ["cell", "_salt"] if "_salt" in df.columns else ["cell"]
+        return df.groupby(keys, sort=False, as_index=False)["n"].sum()
+
+    def merge_group(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("cell", sort=False, as_index=False)["n"].sum()
+
+    res = salted_groupby(
+        ds.map_batches(project, batch_format="pandas"),
+        "cell",
+        reduce_batch,
+        merge_group,
+        salt_buckets=8,
+    )
+    df = res.to_pandas().sort_values(["n", "cell"], ascending=[False, True]).head(20)
+    df = df.reset_index(drop=True)
+    df["cell"] = df.cell.astype(np.int64)
+    df["n"] = df.n.astype(np.int64)
+    return df[["cell", "n"]]
+
+
 def _q_components(sf_dir: str):
     """Component-separation sidecar table (§3.3 parity, rows-only)."""
     import ray.data as rd
@@ -516,6 +565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "q_building_bboxes": _q_building_bboxes,
             "q_phash_dup_groups": _q_phash_dup_groups,
             "q_image_exact_dup": _q_image_exact_dup,
+            "q_hot_cells": _q_hot_cells,
             "q_components": _q_components,
             "q_ann_ivf": _q_ann_ivf,
             "q_range_join": _q_range_join,
@@ -562,6 +612,13 @@ def world_oracle_sql(sf: float) -> dict[str, str]:
             SELECT phash, CAST(COUNT(*) AS BIGINT) AS n, MIN(image_id) AS first_img
             FROM read_parquet('{images}')
             GROUP BY phash HAVING COUNT(*) > 1 ORDER BY phash
+        """,
+        "q_hot_cells": f"""
+            SELECT CAST(floor(cx / 64.0) AS BIGINT) * 4294967296
+                   + (CAST(floor(cy / 64.0) AS BIGINT) & 4294967295) AS cell,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM read_parquet('{images}')
+            GROUP BY cell ORDER BY n DESC, cell LIMIT 20
         """,
         "q_image_exact_dup": f"""
             SELECT MIN(image_id) AS keep_img, CAST(COUNT(*) AS BIGINT) AS n
