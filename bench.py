@@ -148,6 +148,7 @@ def run_bench() -> dict:
         "q_string_agg",
         "q_json_source",
         "q_csv_source",
+        "q_global_sort_slice",
     ]:
         fn = relational.REGISTRY[name]
         t0 = time.perf_counter()

@@ -1702,3 +1702,32 @@ def q_csv_source(sf_dir: str) -> pd.DataFrame:
         lambda df: df[["event_type", "value"]], batch_format="pandas"
     )
     return _events_by_type_from(ds)
+
+
+@query(
+    "q_global_sort_slice",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 100
+    """,
+)
+def q_global_sort_slice(sf_dir: str) -> pd.DataFrame:
+    """Distributed GLOBAL sort (Ray's range-partitioned ``Dataset.sort``)
+    surfaced as its own operator: a mid-stream slice (rows 100-119 of the
+    full ordering) genuinely needs a total order — per-batch partial top-k
+    (the ``q_topk_orders`` path) cannot produce it without k growing to
+    offset+limit. Ties broken deterministically by the secondary key. The
+    driver sees only the first offset+limit rows (``limit()`` stops the
+    sorted stream early); the sort itself is the one intentionally
+    all-to-all operator in the registry — use top-k or bucketing when
+    semantics allow, this when they don't."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    head = (
+        ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(120)
+        .to_pandas()
+    )
+    out = head.iloc[100:120].reset_index(drop=True)
+    out["o_totalprice"] = out.o_totalprice.round(2)
+    return out[["o_orderkey", "o_totalprice"]]
