@@ -149,6 +149,7 @@ def run_bench() -> dict:
         "q_json_source",
         "q_csv_source",
         "q_global_sort_slice",
+        "q_corpus_prep",
     ]:
         fn = relational.REGISTRY[name]
         t0 = time.perf_counter()

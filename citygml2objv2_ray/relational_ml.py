@@ -945,3 +945,78 @@ def q_model_score(sf_dir: str) -> pd.DataFrame:
     top = top.reset_index(drop=True)
     top["score"] = top.score.round(6)
     return top[["vec_id", "score"]]
+
+
+@query(
+    "q_corpus_prep",
+    """
+    WITH base AS (
+        SELECT doc_id, text,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE CAST(array_length(regexp_split_to_array(trim(text), '\\s+'))
+                              AS BIGINT) END AS n_tokens,
+               list_transform(regexp_extract_all(text, '[a-zA-ZÀ-ÿ]+'),
+                              w -> lower(w)) AS words,
+               CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS INTEGER) AS h
+        FROM documents
+    ),
+    kept AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN h < 52429 THEN 'train' ELSE 'val' END AS split
+        FROM base
+        WHERE n_tokens >= 5
+          AND len(list_filter(words, w -> list_contains(
+                ['a','and','are','for','in','is','it','of','on','that',
+                 'the','to','was','with','you'], w))) >= 1
+          AND h < 58982
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM kept GROUP BY split ORDER BY split
+    """,
+)
+def q_corpus_prep(sf_dir: str) -> pd.DataFrame:
+    """The composed training-corpus prep chain as ONE streaming pipeline —
+    token count -> min-length filter -> language keep (>= 1 English
+    stopword, the langid fragment) -> deterministic md5 train/val split ->
+    per-split aggregate. Every stage is a vectorized per-batch transform
+    fused into a single ``map_batches`` (no intermediate materialization,
+    no shuffle until the final 2-key aggregate); each fragment reuses the
+    kernel its standalone query already hash-checks (``text.token_count``,
+    the stopword membership of ``q_langid``, the split hash of
+    ``q_sample_split``), and the SQL twin composes the same fragments —
+    the evidence that chained operators stay exact end-to-end."""
+    import hashlib
+
+    from . import text as tx
+    from .ops import partial_groupby_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    EN = tx.STOPWORDS["en"]
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        n_tok = tx.token_count(df.text)
+        words = df.text.fillna("").str.findall(tx._WORD_RE)
+        c_en = words.map(lambda ws: sum(1 for w in ws if w.lower() in EN))
+        h = np.array(
+            [int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16) for d in df.doc_id],
+            dtype=np.int64,
+        )
+        keep = (n_tok >= 5) & (c_en.to_numpy() >= 1) & (h < 58982)
+        out = pd.DataFrame(
+            {
+                "split": np.where(h[keep] < 52429, "train", "val"),
+                "n_tokens": n_tok[keep],
+            }
+        )
+        return out
+
+    agg = partial_groupby_sum(
+        ds.map_batches(prep, batch_format="pandas"), "split", ["n_tokens"],
+        count_alias="n_docs",
+    )
+    df = agg.to_pandas().sort_values("split").reset_index(drop=True)
+    df["n_docs"] = df.n_docs.astype(np.int64)
+    df["sum_tokens"] = df.sum_n_tokens.astype(np.int64)
+    return df[["split", "n_docs", "sum_tokens"]]
