@@ -323,7 +323,11 @@ def ivf_query_cached(
             os.rename(tmp_dir, index_dir)
         except OSError:  # lost the race — an identical index is in place
             shutil.rmtree(tmp_dir, ignore_errors=True)
-            os.remove(tmp_marker)
+            # publish THIS build's identical marker rather than deleting it:
+            # if the winner crashed between its rename and marker publish
+            # (or hasn't published yet), the dir would otherwise be wedged —
+            # every later build loses the race and no marker ever appears.
+            os.replace(tmp_marker, marker)
         else:
             os.replace(tmp_marker, marker)  # marker LAST: its existence gates reuse
     return ivf_search_partitioned(

@@ -69,10 +69,11 @@ def salted_groupby(
     """
 
     def add_salt(df: pd.DataFrame) -> pd.DataFrame:
+        # row-unique salt (NOT a function of the key value): a hot key's
+        # rows must spread across salt_buckets sub-groups, so derive the
+        # salt from row position within the batch, not from the key hash
         df = df.copy()
-        df["_salt"] = (
-            pd.util.hash_pandas_object(df[key], index=False).to_numpy() % salt_buckets
-        ).astype(np.int64)
+        df["_salt"] = (np.arange(len(df), dtype=np.int64) % salt_buckets)
         return df
 
     salted = ds.map_batches(add_salt, batch_format="pandas")
@@ -84,6 +85,38 @@ def salted_groupby(
         return out.drop(columns=["_salt"], errors="ignore")
 
     return sub.groupby(key).map_groups(merge, batch_format=batch_format)
+
+
+def parquet_col_min(path: str, col: str) -> int | None:
+    """Minimum of an int column from parquet ROW-GROUP STATISTICS only —
+    no data read at any scale. Used to seed the streaming shards'
+    reorder buffers with the stream's first arrival-sequence value.
+    Falls back to a single-column scan if any footer lacks stats."""
+    try:
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        d = pads.dataset(path, format="parquet")
+        mins: list[int] = []
+        for frag in d.get_fragments():
+            md = frag.metadata
+            names = [md.row_group(0).column(j).path_in_schema for j in range(md.num_columns)]
+            j = names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(j).statistics
+                if st is None or st.min is None:
+                    raise ValueError("missing stats")
+                mins.append(int(st.min))
+        return min(mins) if mins else None
+    except Exception:
+        try:
+            import pyarrow.compute as pc
+            import pyarrow.dataset as pads
+
+            t = pads.dataset(path, format="parquet").to_table(columns=[col])
+            return int(pc.min(t[col]).as_py())
+        except Exception:
+            return None
 
 
 def parquet_num_rows(path: str) -> int | None:

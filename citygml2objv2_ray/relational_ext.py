@@ -589,7 +589,9 @@ def q_tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
     both = tf.map_batches(tag_tf, batch_format="pandas").union(
         dfreq.map_batches(tag_df, batch_format="pandas")
     )
-    n_total = float(n_docs)
+    # _nrows() returns None when the parquet footer can't be read — fall
+    # back to an actual count rather than TypeError-ing in every reducer
+    n_total = float(n_docs if n_docs else ds.count())
 
     def score_group(g: pd.DataFrame) -> pd.DataFrame:
         t = g[g.tf >= 0]
@@ -1066,8 +1068,15 @@ def q_json_extract(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", ["event_type", "props"])
 
     def extract(df: pd.DataFrame) -> pd.DataFrame:
-        k = df.props.str.extract(r'"k"\s*:\s*(-?\d+)', expand=False).astype(np.int64)
-        return pd.DataFrame({"event_type": df.event_type, "k": k, "kmax": k})
+        # regex-miss rows (missing key / quoted / float value) become NaN
+        # and are dropped — mirroring the SQL twin, where
+        # json_extract_string yields NULL and the aggregate skips it
+        k = pd.to_numeric(
+            df.props.str.extract(r'"k"\s*:\s*(-?\d+)', expand=False), errors="coerce"
+        )
+        keep = k.notna().to_numpy()
+        k = k[keep].astype(np.int64)
+        return pd.DataFrame({"event_type": df.event_type[keep], "k": k, "kmax": k})
 
     pre = ds.map_batches(extract, batch_format="pandas")
 

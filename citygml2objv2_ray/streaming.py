@@ -1,6 +1,7 @@
-"""Streaming windowed aggregation with watermarks and late-data handling —
-the §2.F capability neither the reference (pure batch, SURVEY.md §2.F
-"Streaming/windows/watermarks: none") nor Ray Data natively has.
+"""Streaming windowed aggregation + streaming dedup with watermarks and
+late-data handling — the §2.F capability neither the reference (pure
+batch, SURVEY.md §2.F "Streaming/windows/watermarks: none") nor Ray Data
+natively has.
 
 Semantics (the standard event-time model):
 
@@ -12,19 +13,37 @@ Semantics (the standard event-time model):
   ``late_dropped`` instead of mutating emitted results — exactly-once
   window output.
 
-Shape: a single Ray ACTOR holds the open-window state (the brief's
-"actor-pool stage holding the needed state" escape hatch — windowed state
-with a global watermark is the one thing a stateless map can't express).
-At scale this shards by key-hash into an actor pool (one actor per key
-range, watermarks per shard); the single-actor form keeps the semantics
-auditable and is what the equality-with-batch oracle checks.
+Shape (the 100-TB form, no driver data loop): the stream is routed to a
+SHARDED ACTOR POOL from inside ``map_batches`` tasks — each task
+hash-routes its batch's rows by key and pushes the slices directly into
+the shard actors; the driver only ever sees the finalized window rows /
+spill-file paths at drain time. Keys are sharded by hash so each actor's
+state is ~(keys / n_shards) and every shard keeps its OWN watermark over
+its substream.
+
+Ordered delivery under task parallelism: map_batches tasks complete in
+arbitrary order, but arrival-order semantics need each shard to process
+its substream in stream order. Every batch of the source is a CONTIGUOUS
+range of a dense arrival-sequence column (``event_id`` for the events
+table — the same column the SQL twin anchors ROW_NUMBER on); the router
+stamps every slice with the batch's [lo, hi] range and sends the stamp to
+EVERY shard (empty slices as ``None``), and each shard holds a reorder
+buffer that applies slices strictly in sequence order. This is the same
+per-partition ordered-delivery + per-shard watermark design Kafka/Flink
+deployments use; the reorder buffer is bounded by the executor's in-flight
+task window (backpressure), not by the stream length.
 
 With ``allowed_lateness`` >= the stream's true disorder, nothing drops and
 the finalized output EQUALS the batch tumbling-window aggregate — which
-gives the streaming path a DuckDB SQL oracle for free (q_stream_window_hourly).
+gives the streaming path a DuckDB SQL oracle for free
+(q_stream_window_hourly). Sharding preserves that equality exactly: a
+key's events all land in one shard and are processed in arrival order, and
+a subsequence's disorder never exceeds the full stream's.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import pandas as pd
@@ -32,25 +51,68 @@ import pandas as pd
 import ray
 
 
-@ray.remote
-class WindowedStreamAggregator:
-    """Actor holding open tumbling-window aggregates keyed by
-    (event_type, window_start); emits finalized windows as the watermark
-    advances."""
+class _ReorderBuffer:
+    """Mixin: apply range-stamped micro-batch slices in arrival-sequence
+    order regardless of the order the routing tasks deliver them."""
 
-    def __init__(self, width_us: int, allowed_lateness_us: int):
+    def _init_order(self, start_seq: int | None) -> None:
+        self._next = None if start_seq is None else int(start_seq)
+        self._pending: dict[int, tuple[int, object]] = {}
+
+    def ingest_range(self, lo: int, hi: int, df) -> bool:
+        """One stamped slice of the stream (this shard's rows of the
+        source batch covering arrival seq [lo, hi]; ``None`` if the shard
+        owns none of them). Applies every consecutive pending slice."""
+        lo, hi = int(lo), int(hi)
+        if self._next is None:  # first stamp seen defines the stream start
+            self._next = lo
+        self._pending[lo] = (hi, df)
+        while self._next in self._pending:
+            nxt, d = self._pending.pop(self._next)
+            if d is not None and len(d):
+                self._apply(d)
+            self._next = nxt + 1
+        return True
+
+    def _drain_pending(self) -> None:
+        """End of stream: apply any slices still buffered (a gap here
+        means the source's seq column wasn't dense — apply in order
+        anyway rather than losing data)."""
+        for lo in sorted(self._pending):
+            _, d = self._pending.pop(lo)
+            if d is not None and len(d):
+                self._apply(d)
+
+
+@ray.remote(num_cpus=0)
+class WindowedStreamAggregator(_ReorderBuffer):
+    """Shard actor holding open tumbling-window aggregates keyed by
+    (event_type, window_start) FOR ITS KEY RANGE, with its own watermark;
+    emits finalized windows as the watermark advances. ``num_cpus=0``:
+    the routing tasks own the CPU slots; shard work is short bursts
+    (in a real cluster these would be a dedicated pool)."""
+
+    def __init__(self, width_us: int, allowed_lateness_us: int, start_seq: int | None = None):
         self.width = int(width_us)
         self.lateness = int(allowed_lateness_us)
         self.open: dict[tuple, list] = {}  # (etype, wstart) → [n, sum_value]
         self.watermark = np.iinfo(np.int64).min
         self.finalized_max = np.iinfo(np.int64).min  # highest finalized window end
         self.late_dropped = 0
+        self.n_processed = 0
+        self._emitted: list[dict] = []
+        self._init_order(start_seq)
+
+    def _apply(self, df) -> None:
+        self._emitted.extend(self.ingest(df))
 
     def ingest(self, df: pd.DataFrame) -> list[dict]:
         """One arrival-order micro-batch (event_type, ts_us, value) →
         list of finalized window rows emitted by this batch's watermark
-        advance."""
+        advance. (Direct API — the routed path goes through
+        ``ingest_range`` and accumulates emissions for ``drain``.)"""
         ts = df["ts_us"].to_numpy()
+        self.n_processed += len(ts)
         wstart = (ts // self.width) * self.width
         # events for windows finalized BEFORE this batch are late drops
         late = wstart < self.finalized_max
@@ -82,35 +144,199 @@ class WindowedStreamAggregator:
         self.watermark = np.iinfo(np.int64).max
         return self._emit_ready()
 
+    def drain(self) -> dict:
+        """Routed-path terminal call: apply leftovers, flush, and hand the
+        driver ONLY the finalized window rows + stats."""
+        self._drain_pending()
+        self._emitted.extend(self.flush())
+        return {"rows": self._emitted, "stats": self.stats()}
+
     def stats(self) -> dict:
-        return {"late_dropped": self.late_dropped, "open_windows": len(self.open)}
+        return {
+            "late_dropped": self.late_dropped,
+            "open_windows": len(self.open),
+            "n_processed": self.n_processed,
+        }
 
 
-def stream_window_hourly(
-    sf_dir: str,
+@ray.remote(num_cpus=0)
+class StreamingDeduper(_ReorderBuffer):
+    """Actor pool shard for streaming exact dedup: holds the seen-key set
+    for ITS hash range and emits only first occurrences, incrementally.
+    Keys are sharded by hash so each actor's state is ~(distinct keys /
+    n_shards) — the 100 TB form is this same pool with more shards (state
+    never concentrates), exactly the brief's "shared mutable index" case
+    that a stateless map can't express. In routed mode, kept rows SPILL to
+    per-shard parquet parts once the buffer passes ``spill_rows`` — the
+    driver receives file paths, never the row stream."""
+
+    def __init__(
+        self,
+        start_seq: int | None = None,
+        spill_dir: str | None = None,
+        shard_id: int = 0,
+        spill_rows: int = 65536,
+    ):
+        self.seen: set = set()
+        self.n_dropped = 0
+        self.spill_dir = spill_dir
+        self.shard_id = int(shard_id)
+        self.spill_rows = int(spill_rows)
+        self._buf: list[pd.DataFrame] = []
+        self._buf_rows = 0
+        self._paths: list[str] = []
+        self._init_order(start_seq)
+
+    def _apply(self, df) -> None:
+        kept = self.ingest(df)
+        if len(kept):
+            self._buf.append(kept)
+            self._buf_rows += len(kept)
+            if self.spill_dir is not None and self._buf_rows >= self.spill_rows:
+                self._spill()
+
+    def _spill(self) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.spill_dir, exist_ok=True)
+        path = os.path.join(
+            self.spill_dir, f"shard{self.shard_id:03d}-part{len(self._paths):05d}.parquet"
+        )
+        out = pd.concat(self._buf, ignore_index=True).drop(columns=["key"], errors="ignore")
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), path)
+        self._paths.append(path)
+        self._buf, self._buf_rows = [], 0
+
+    def ingest(self, df: pd.DataFrame) -> pd.DataFrame:
+        """One arrival-order micro-batch slice (this shard's keys only) →
+        the rows whose key is seen for the FIRST time, in arrival order."""
+        first_in_batch = ~df["key"].duplicated()
+        novel_mask = first_in_batch & ~df["key"].isin(self.seen)
+        out = df[novel_mask]
+        self.seen.update(out["key"].tolist())
+        self.n_dropped += int(len(df) - len(out))
+        return out
+
+    def drain(self) -> dict:
+        """Routed-path terminal call: spill/return the remaining kept rows;
+        the driver gets parquet paths (spill mode) or the small in-memory
+        frame (no spill dir), plus stats."""
+        self._drain_pending()
+        rows = None
+        if self.spill_dir is not None:
+            if self._buf_rows:
+                self._spill()
+        else:
+            rows = (
+                pd.concat(self._buf, ignore_index=True)
+                if self._buf
+                else pd.DataFrame()
+            )
+            self._buf, self._buf_rows = [], 0
+        return {"paths": self._paths, "rows": rows, "stats": self.stats()}
+
+    def stats(self) -> dict:
+        return {"n_seen": len(self.seen), "n_dropped": self.n_dropped}
+
+
+def route_stream(
+    ds,
+    shards: list,
+    shard_of,
+    prep=None,
+    seq_col: str = "event_id",
+    batch_size: int = 8192,
+) -> int:
+    """Push an arrival-ordered Dataset into a shard-actor pool from INSIDE
+    ``map_batches`` tasks — the driver never touches the row stream. Each
+    batch must be a contiguous range of the dense ``seq_col``; the router
+    stamps every shard's slice with that range (``None`` for shards owning
+    no rows of it) so the reorder buffers can apply slices in exact stream
+    order under any task interleaving. Router tasks ``ray.get`` the acks,
+    which both guarantees full completion before the terminal aggregate
+    returns and gives the pool natural backpressure. Returns total rows
+    routed (the terminal ``sum`` that drives execution)."""
+    n_shards = len(shards)
+
+    def route(df: pd.DataFrame) -> pd.DataFrame:
+        seq = df[seq_col].to_numpy()
+        if not len(seq):
+            return pd.DataFrame({"n_routed": [0]})
+        lo, hi = int(seq.min()), int(seq.max())
+        if hi - lo + 1 != len(df):
+            raise ValueError(
+                f"stream source needs a DENSE arrival-seq column; batch "
+                f"[{lo},{hi}] has {len(df)} rows"
+            )
+        if not np.all(seq[1:] > seq[:-1]):  # restore arrival order in-batch
+            df = df.iloc[np.argsort(seq, kind="stable")].reset_index(drop=True)
+        if prep is not None:
+            df = prep(df)
+        s = shard_of(df)
+        acks = []
+        for i in range(n_shards):
+            sub = df[s == i]
+            acks.append(
+                shards[i].ingest_range.remote(lo, hi, sub if len(sub) else None)
+            )
+        ray.get(acks)
+        return pd.DataFrame({"n_routed": [len(df)]})
+
+    acks_ds = ds.map_batches(route, batch_format="pandas", batch_size=batch_size)
+    return int(acks_ds.sum(on="n_routed") or 0)
+
+
+def stream_window(
+    events_path: str,
     width_us: int = 3_600_000_000,
     allowed_lateness_us: int = 86_400_000_000,
     batch_size: int = 8192,
+    n_shards: int = 4,
 ) -> tuple[pd.DataFrame, dict]:
-    """Drive the events table through the streaming aggregator in
-    arrival order (the parquet read order — NOT sorted by event time) and
-    return (finalized windows, stream stats). With default lateness >= the
-    table's disorder, the result equals the batch tumbling window."""
+    """Sharded streaming tumbling-window aggregate over an events parquet
+    table (event_id, event_type, ts, value), arrival order = read order =
+    event_id order. No driver data loop: ``route_stream`` pushes the rows
+    shard-ward from map_batches tasks; the driver collects only the
+    finalized window rows at drain. With default lateness >= the table's
+    disorder, the result equals the batch tumbling window."""
     import ray.data as rd
 
-    from .relational import _t
+    from .ops import parquet_col_min
 
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
-    agg = WindowedStreamAggregator.remote(width_us, allowed_lateness_us)
-    emitted: list[dict] = []
-    for batch in ds.iter_batches(batch_format="pandas", batch_size=batch_size):
-        batch = batch.assign(
-            ts_us=batch.ts.values.astype("datetime64[us]").astype(np.int64)
-        )[["event_type", "ts_us", "value"]]
-        emitted.extend(ray.get(agg.ingest.remote(batch)))
-    emitted.extend(ray.get(agg.flush.remote()))
-    stats = ray.get(agg.stats.remote())
-    ray.kill(agg)
+    ds = rd.read_parquet(
+        events_path, columns=["event_id", "event_type", "ts", "value"]
+    )
+    start = parquet_col_min(events_path, "event_id")
+    shards = [
+        WindowedStreamAggregator.remote(width_us, allowed_lateness_us, start_seq=start)
+        for _ in range(n_shards)
+    ]
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df.event_type,
+                "ts_us": df.ts.values.astype("datetime64[us]").astype(np.int64),
+                "value": df.value,
+            }
+        )
+
+    def shard_of(df: pd.DataFrame) -> np.ndarray:
+        h = pd.util.hash_pandas_object(df.event_type, index=False).to_numpy()
+        return (h % np.uint64(n_shards)).astype(np.int64)
+
+    route_stream(ds, shards, shard_of, prep=prep, seq_col="event_id", batch_size=batch_size)
+    drains = ray.get([s.drain.remote() for s in shards])
+    for s in shards:
+        ray.kill(s)
+    emitted = [r for d in drains for r in d["rows"]]
+    stats = {
+        "late_dropped": int(sum(d["stats"]["late_dropped"] for d in drains)),
+        "open_windows": int(sum(d["stats"]["open_windows"] for d in drains)),
+        "n_processed": int(sum(d["stats"]["n_processed"] for d in drains)),
+        "n_shards": n_shards,
+    }
     df = pd.DataFrame(emitted, columns=["event_type", "window_start", "n", "sum_value"])
     if len(df):
         df["window_start"] = (df.window_start // 1_000_000).astype(np.int64)  # epoch s
@@ -119,6 +345,25 @@ def stream_window_hourly(
     return (
         df.sort_values(["event_type", "window_start"]).reset_index(drop=True),
         stats,
+    )
+
+
+def stream_window_hourly(
+    sf_dir: str,
+    width_us: int = 3_600_000_000,
+    allowed_lateness_us: int = 86_400_000_000,
+    batch_size: int = 8192,
+    n_shards: int = 4,
+) -> tuple[pd.DataFrame, dict]:
+    """`stream_window` over the driver events table of ``sf_dir``."""
+    from .relational import _t
+
+    return stream_window(
+        _t(sf_dir, "events"),
+        width_us=width_us,
+        allowed_lateness_us=allowed_lateness_us,
+        batch_size=batch_size,
+        n_shards=n_shards,
     )
 
 
@@ -136,88 +381,83 @@ from .relational import query  # noqa: E402
     """,
 )
 def q_stream_window_hourly(sf_dir: str) -> pd.DataFrame:
-    """The STREAMING path (arrival order + watermark + late-data drops)
-    must finalize to exactly the batch tumbling-window answer when
-    allowed_lateness covers the stream's disorder — the DuckDB twin is the
-    batch window SQL."""
+    """The STREAMING path (arrival order + per-shard watermarks + late-data
+    drops, routed to the shard pool from map_batches tasks) must finalize
+    to exactly the batch tumbling-window answer when allowed_lateness
+    covers the stream's disorder — the DuckDB twin is the batch window
+    SQL."""
     df, _ = stream_window_hourly(sf_dir)
     return df
 
 
-@ray.remote
-class StreamingDeduper:
-    """Actor pool shard for streaming exact dedup: holds the seen-key set
-    for ITS hash range and emits only first occurrences, incrementally.
-    Keys are sharded by hash so each actor's state is ~(distinct keys /
-    n_shards) — the 100 TB form is this same pool with more shards (state
-    never concentrates), exactly the brief's "shared mutable index" case
-    that a stateless map can't express."""
-
-    def __init__(self):
-        self.seen: set = set()
-        self.n_dropped = 0
-
-    def ingest(self, df: pd.DataFrame) -> pd.DataFrame:
-        """One arrival-order micro-batch slice (this shard's keys only) →
-        the rows whose key is seen for the FIRST time, in arrival order."""
-        first_in_batch = ~df["key"].duplicated()
-        novel_mask = first_in_batch & ~df["key"].isin(self.seen)
-        out = df[novel_mask]
-        self.seen.update(out["key"].tolist())
-        self.n_dropped += int(len(df) - len(out))
-        return out
-
-    def stats(self) -> dict:
-        return {"n_seen": len(self.seen), "n_dropped": self.n_dropped}
-
-
 def stream_dedup_first(
-    sf_dir: str, n_shards: int = 4, batch_size: int = 8192
-) -> tuple[pd.DataFrame, dict]:
+    sf_dir: str, n_shards: int = 4, batch_size: int = 8192, collect: bool = True
+):
     """Streaming exact dedup of the events table on (user_id, event_type)
-    in ARRIVAL order: each micro-batch is hash-sharded across the actor
-    pool, every shard emits its first occurrences incrementally, and the
-    union of emissions is the keep-first dedup of the whole stream. With
-    arrival order == table order, the finalized output EQUALS the batch
-    keep-first-by-arrival dedup — a free SQL oracle, like the windowed
-    stream above."""
+    in ARRIVAL order, sharded by key hash across the actor pool and FED
+    FROM map_batches tasks (no driver data loop): every shard emits its
+    first occurrences incrementally and spills them to per-shard parquet
+    parts; the union of the parts is the keep-first dedup of the whole
+    stream. With arrival order == table order, the finalized output EQUALS
+    the batch keep-first-by-arrival dedup — a free SQL oracle, like the
+    windowed stream above.
+
+    ``collect=True`` returns (DataFrame sorted by arrival, stats) and
+    removes the spill dir; ``collect=False`` returns (spill paths, stats)
+    — the 100-TB form, where the output stays a partitioned parquet
+    dataset."""
+    import shutil
+    import tempfile
+
     import ray.data as rd
 
+    from .ops import parquet_col_min
     from .relational import _t
 
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "event_type"])
-    shards = [StreamingDeduper.remote() for _ in range(n_shards)]
-    pending: list = []
-    seq = 0
-    for batch in ds.iter_batches(batch_format="pandas", batch_size=batch_size):
-        batch = batch.assign(
-            key=batch.user_id.astype(str) + "\x00" + batch.event_type.astype(str),
-            _seq=np.arange(seq, seq + len(batch)),
+    events_path = _t(sf_dir, "events")
+    ds = rd.read_parquet(events_path, columns=["event_id", "user_id", "event_type"])
+    start = parquet_col_min(events_path, "event_id")
+    spill_dir = tempfile.mkdtemp(prefix="stream_dedup_", dir="/tmp")
+    shards = [
+        StreamingDeduper.remote(
+            start_seq=start, spill_dir=spill_dir, shard_id=i
         )
-        seq += len(batch)
-        h = pd.util.hash_pandas_object(batch.key, index=False).to_numpy()
-        shard_of = (h % n_shards).astype(np.int64)
-        # one ingest per shard per micro-batch, all in flight concurrently
-        pending.append(
-            [
-                shards[s].ingest.remote(batch[shard_of == s])
-                for s in range(n_shards)
-            ]
+        for i in range(n_shards)
+    ]
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            key=df.user_id.astype(str) + "\x00" + df.event_type.astype(str)
         )
-    parts = [df for futs in pending for df in ray.get(futs) if len(df)]
-    stats_list = ray.get([s.stats.remote() for s in shards])
+
+    def shard_of(df: pd.DataFrame) -> np.ndarray:
+        h = pd.util.hash_pandas_object(df.key, index=False).to_numpy()
+        return (h % np.uint64(n_shards)).astype(np.int64)
+
+    route_stream(ds, shards, shard_of, prep=prep, seq_col="event_id", batch_size=batch_size)
+    drains = ray.get([s.drain.remote() for s in shards])
     for s in shards:
         ray.kill(s)
-    out = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
-        columns=["event_id", "user_id", "event_type", "key", "_seq"]
-    )
-    # arrival order within the stream = _seq; emissions are per-shard but
-    # each key's first arrival is unique, so sorting by _seq restores it
-    out = out.sort_values("_seq").reset_index(drop=True)
     stats = {
-        "n_seen": int(sum(s["n_seen"] for s in stats_list)),
-        "n_dropped": int(sum(s["n_dropped"] for s in stats_list)),
+        "n_seen": int(sum(d["stats"]["n_seen"] for d in drains)),
+        "n_dropped": int(sum(d["stats"]["n_dropped"] for d in drains)),
+        "n_shards": n_shards,
     }
+    paths = [p for d in drains for p in d["paths"]]
+    if not collect:
+        return paths, stats
+    import pyarrow.parquet as pq
+
+    parts = [pq.read_table(p).to_pandas() for p in paths]
+    out = (
+        pd.concat(parts, ignore_index=True)
+        if parts
+        else pd.DataFrame(columns=["event_id", "user_id", "event_type"])
+    )
+    shutil.rmtree(spill_dir, ignore_errors=True)
+    # each key's first arrival is unique, so sorting by the arrival seq
+    # (event_id) restores global arrival order across shards
+    out = out.sort_values("event_id").reset_index(drop=True)
     return out[["event_id", "user_id", "event_type"]], stats
 
 
@@ -233,10 +473,48 @@ def stream_dedup_first(
     """,
 )
 def q_stream_dedup(sf_dir: str) -> pd.DataFrame:
-    """Streaming keep-first dedup (sharded stateful actor pool, incremental
-    emission) must equal the batch keep-first-by-arrival-order dedup.
-    Arrival order is the parquet read order, which for the events table is
-    event_id order — so the SQL twin anchors ROW_NUMBER on event_id
-    (deterministic under any DuckDB scan parallelism)."""
+    """Streaming keep-first dedup (sharded stateful actor pool fed from
+    map_batches tasks, per-shard spill, incremental emission) must equal
+    the batch keep-first-by-arrival-order dedup. Arrival order is the
+    parquet read order, which for the events table is event_id order — so
+    the SQL twin anchors ROW_NUMBER on event_id (deterministic under any
+    DuckDB scan parallelism)."""
     df, _ = stream_dedup_first(sf_dir)
     return df.sort_values("event_id").reset_index(drop=True)
+
+
+def synth_events(out_dir: str, n: int = 10_000_000, n_types: int = 8, seed: int = 5) -> str:
+    """Deterministic synthetic events table for the streaming SCALE demo
+    (cached under ``out_dir`` keyed by params, same pattern as
+    ``dedup.synth_documents``): dense arrival-seq ``event_id`` 0..n-1 in
+    row order, ~30-day event-time span with ±1 h jitter (disorder far
+    below the default 24 h lateness, so the stream equals the batch
+    window), ``n_types`` event types, 64k row groups so Ray splits the
+    read into ~n/65536 blocks."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(out_dir, f"events-n{n}-t{n_types}-s{seed}-v1.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    base = 1_700_000_000_000_000  # epoch µs
+    span = 30 * 86_400_000_000
+    step = span // max(n, 1)
+    ts = base + np.arange(n, dtype=np.int64) * step + rng.integers(
+        -3_600_000_000, 3_600_000_000, size=n, dtype=np.int64
+    )
+    types = np.array([f"type_{i:02d}" for i in range(n_types)], dtype=object)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "event_type": pa.array(types[rng.integers(0, n_types, size=n)]),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+            "value": pa.array(rng.random(n)),
+        }
+    )
+    tmp = path + ".tmp"
+    pq.write_table(t, tmp, row_group_size=65536)
+    os.replace(tmp, path)
+    return path

@@ -115,3 +115,44 @@ class TestStreamingDedup:
         ).df()
         assert sorted(df.event_id.tolist()) == want.event_id.tolist()
         assert stats["n_seen"] == len(want)
+
+
+class TestOrderedRouting:
+    def test_reorder_buffer_applies_in_seq_order(self, ray_session):
+        """Slices delivered OUT of order (as parallel routing tasks do)
+        must be applied in arrival-seq order — late-drop accounting is
+        order-sensitive, so a swapped application would change results."""
+        import ray
+
+        from citygml2objv2_ray.streaming import WindowedStreamAggregator
+
+        W = 100
+        agg = WindowedStreamAggregator.remote(W, allowed_lateness_us=0, start_seq=0)
+        # stream: seq 0-1 has ts 10,150; seq 2 has ts 320 — delivered 2 first
+        b2 = pd.DataFrame({"event_type": ["a"], "ts_us": [320], "value": [3.0]})
+        b1 = pd.DataFrame({"event_type": ["a", "a"], "ts_us": [10, 150], "value": [1.0, 2.0]})
+        ray.get(agg.ingest_range.remote(2, 2, b2))  # buffered, NOT applied
+        st = ray.get(agg.stats.remote())
+        assert st["n_processed"] == 0  # nothing applied until seq 0 arrives
+        ray.get(agg.ingest_range.remote(0, 1, b1))  # applies 0-1 then 2
+        out = ray.get(agg.drain.remote())
+        got = [(r["window_start"], r["n"]) for r in out["rows"]]
+        assert got == [(0, 1), (100, 1), (300, 1)]
+        assert out["stats"]["late_dropped"] == 0
+        ray.kill(agg)
+
+    def test_routed_gap_headers_advance_empty_shards(self, ray_session):
+        """A shard owning no rows of a batch still gets the range stamp
+        (None payload) so its reorder buffer never stalls."""
+        import ray
+
+        from citygml2objv2_ray.streaming import StreamingDeduper
+
+        d = StreamingDeduper.remote(start_seq=0)
+        ray.get(d.ingest_range.remote(0, 9, None))  # empty slice, range advances
+        b = pd.DataFrame({"event_id": [10], "key": ["k"], "v": [1]})
+        ray.get(d.ingest_range.remote(10, 10, b))
+        out = ray.get(d.drain.remote())
+        assert out["rows"].key.tolist() == ["k"]
+        assert out["stats"] == {"n_seen": 1, "n_dropped": 0}
+        ray.kill(d)
