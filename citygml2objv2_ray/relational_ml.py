@@ -225,6 +225,8 @@ def verify_pairs_jaccard_ds(
     ng: int,
     threshold: float,
     shingle_fn,
+    pre_dedup: bool = False,
+    bloom: bool = False,
 ) -> rd.Dataset:
     """Distributed exact-Jaccard verification of candidate pairs — the
     shared tail of every text near-dup query (MinHash LSH, exact n-gram
@@ -246,10 +248,55 @@ def verify_pairs_jaccard_ds(
     Jaccard family (char shingles for MinHash, word n-grams for the
     exact index). The kept-pair filter compares the ROUNDED (6 dp)
     Jaccard against ``threshold`` so SQL twins can mirror it exactly.
+
+    Optional knobs for corpora where the docs table dwarfs the candidate
+    set (both measured BREAK-EVEN at 100k-300k docs — the barrier each
+    adds costs what it saves at this text size — and left off by default;
+    the always-on attach-time pair-dedup below covers the common win):
+
+    - ``bloom=True``: materialize ``pairs`` once and prefilter the docs
+      stream with a 128 KiB distributed-built Bloom over candidate doc
+      ids, so only candidates (+ ~fp noise, dropped in-group) ship text
+      into the semi-join. Exact: Bloom has false positives only, and
+      ``attach_text`` keeps just the docs a pair references.
+    - ``pre_dedup=True``: a dedicated int-only pair-dedup shuffle before
+      the explode (useful when the per-band duplication factor is so
+      extreme that even int halves dominate the first sort).
     """
+    import ray
+
+    from .ops import bloom_build_distributed, bloom_prefilter
+
     KIND_DOC, KIND_PAIR = np.int8(0), np.int8(1)
 
+    # GLOBAL PAIR-DEDUP FIRST (r4): a pair found by several LSH bands (or
+    # several shared index grams) arrives once per band — measured 268k
+    # candidate rows for 16k distinct pairs at sf0.1. Dedup the INT-ONLY
+    # pair rows before anything text-bearing moves: one cheap shuffle here
+    # shrinks both verify shuffles and the in-group shingle work by the
+    # duplication factor. (verify_group keeps its own drop_duplicates as a
+    # cheap idempotent guard.)
+    if pre_dedup:
+        pairs = dd.dedup_pairs(pairs, "doc_a", "doc_b", ng)
+    if bloom:
+        pairs = pairs.materialize()
+
+        def both_ids(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(
+                        [df.doc_a.to_numpy(), df.doc_b.to_numpy()]
+                    ).astype(np.int64)
+                }
+            )
+
+        bf = bloom_build_distributed(
+            pairs.map_batches(both_ids, batch_format="pandas"), "doc_id"
+        )
+        docs = bloom_prefilter(docs, "doc_id", ray.put(bf))
+
     def pair_halves(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["doc_a", "doc_b"])  # per-batch dedup partial
         a = df.doc_a.to_numpy().astype(np.int64)
         b = df.doc_b.to_numpy().astype(np.int64)
         key = np.concatenate([a, b])
@@ -293,7 +340,14 @@ def verify_pairs_jaccard_ds(
     )
 
     def attach_text(g: pd.DataFrame) -> pd.DataFrame:
-        ph = g[g.kind == KIND_PAIR]
+        # GLOBAL pair-dedup rides THIS shuffle for free: every copy of pair
+        # (a,b)'s side-0 half has key=a (side-1: key=b), so all duplicates
+        # of a half land in this group — dropping them here (ints only,
+        # before any text attaches) shrinks the second shuffle and the
+        # shingle work by the LSH duplication factor (measured 268k
+        # candidate rows -> 16k distinct pairs at sf0.1) with NO extra
+        # shuffle or barrier.
+        ph = g[g.kind == KIND_PAIR].drop_duplicates(["doc_a", "doc_b", "side"])
         if not len(ph):
             return HALF_EMPTY
         d = g[g.kind == KIND_DOC]
@@ -311,7 +365,15 @@ def verify_pairs_jaccard_ds(
     halves = pairs.map_batches(pair_halves, batch_format="pandas").union(
         docs.map_batches(doc_rows, batch_format="pandas")
     )
+    # COALESCE before each sort: the union inherits the upstream block
+    # fragmentation (hundreds of ~200-row blocks) and Ray's sort pays a
+    # per-(input-block x output-partition) slice cost — the CLAUDE.md
+    # measured trap. A shuffle-FREE repartition (block merge, no data
+    # movement beyond concatenation) cuts the slice count ~10x; sized to
+    # the shuffle fan-out so each sort task still gets parallel input.
+    halves = halves.repartition(min(ng, 32), shuffle=False)
     halves_txt = halves.groupby("_sg").map_groups(attach_text, batch_format="pandas")
+    halves_txt = halves_txt.repartition(min(ng, 32), shuffle=False)
 
     def pair_group_key(df: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(df[["doc_a", "doc_b"]], index=False).to_numpy()
@@ -327,6 +389,12 @@ def verify_pairs_jaccard_ds(
         )
         if not len(g):
             return _PAIRS_EMPTY
+        side = g.side.to_numpy()
+        if len(g) % 2 or (side[0::2] != 0).any() or (side[1::2] != 1).any():
+            # contract guard: every pair must contribute exactly one side-0
+            # and one side-1 half — a silent misalignment here would skew
+            # EVERY later pair's Jaccard in this group
+            raise ValueError("pair halves misaligned after dedup/sort")
         a = g.doc_a.to_numpy()[0::2]
         b = g.doc_b.to_numpy()[0::2]
         ta = g.text.to_numpy()[0::2]
@@ -438,6 +506,10 @@ def minhash_neardup_pairs(
         return out.drop_duplicates(["doc_a", "doc_b"])
 
     keyed = bands.map_batches(band_key, batch_format="pandas")
+    # (no coalesce here: the band table's read-derived block count is
+    # already ~ng, and a shuffle-free repartition that SPLITS blocks was
+    # measured a net loss — only the verify tail's fragmented tiny blocks
+    # need merging, see verify_pairs_jaccard_ds)
     pairs = keyed.groupby("_sg").map_groups(pairs_in_supergroup, batch_format="pandas")
     return verify_pairs_jaccard(pairs, docs, ng, threshold, dd.char_shingles)
 
