@@ -77,6 +77,11 @@ class EngineConfig:
     supergroup_min: int = 64
     supergroup_max: int = 4096
 
+    # broadcast-vs-partition join switch: a materialized selective side at
+    # or under this row count is ray.put once and merged map-side in every
+    # probe task (no join shuffle); above it, hash-partitioned Dataset.join
+    broadcast_join_rows: int = 200_000
+
     # batching — join batch also sets downstream BLOCK granularity: the
     # decode pool's parallelism is bounded by upstream block count (tuned
     # via ds.stats(): 8192 starved the decode pool to 13 tasks)

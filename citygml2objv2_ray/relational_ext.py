@@ -649,9 +649,17 @@ def q_bloom_join(sf_dir: str) -> pd.DataFrame:
     (~86% of lineitem at this filter). False positives only — the join
     itself removes them, so the result is exactly the plain SQL join. At
     100 TB this is the difference between shuffling the whole fact table
-    and shuffling the ~matching slice."""
+    and shuffling the ~matching slice.
+
+    BROADCAST-vs-PARTITION SWITCH (r4): the selective side is materialized
+    anyway (it feeds both the Bloom build and the join); if its row count
+    is at or under ``EngineConfig.broadcast_join_rows`` it is ``ray.put``
+    once and merged MAP-SIDE inside every probe batch — no join shuffle at
+    all (the ``q_anti_join`` broadcast pattern). Above the threshold, the
+    hash-partitioned ``Dataset.join`` path runs as before."""
     import ray
 
+    from .config import DEFAULT_CONFIG
     from .ops import bloom_build_distributed, bloom_prefilter, partial_groupby_sum
 
     import pyarrow.compute as pc
@@ -683,13 +691,26 @@ def q_bloom_join(sf_dir: str) -> pd.DataFrame:
             ["l_orderkey", "revenue"]
         ]
 
-    joined = cand.map_batches(rev, batch_format="pandas").join(
-        sel,
-        "inner",
-        num_partitions=_djp(_nrows(sf_dir, "lineitem")),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    )
+    n_sel = sel.count()  # free on a materialized dataset
+    if n_sel <= DEFAULT_CONFIG.broadcast_join_rows:
+        sel_ref = ray.put(sel.to_pandas())
+
+        def bcast_join(df: pd.DataFrame) -> pd.DataFrame:
+            s = ray.get(sel_ref)
+            out = rev(df).merge(
+                s, left_on="l_orderkey", right_on="o_orderkey", how="inner"
+            )
+            return out[["l_orderkey", "revenue", "o_orderpriority"]]
+
+        joined = cand.map_batches(bcast_join, batch_format="pandas")
+    else:
+        joined = cand.map_batches(rev, batch_format="pandas").join(
+            sel,
+            "inner",
+            num_partitions=_djp(_nrows(sf_dir, "lineitem")),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
     agg = partial_groupby_sum(joined, "o_orderpriority", ["revenue"], count_alias="n_items")
     df = agg.to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
     df["n_items"] = df.n_items.astype(np.int64)

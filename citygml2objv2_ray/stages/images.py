@@ -214,23 +214,40 @@ class DecodeClip:
                 hashes = np.array([codecs.phash64(decoded[i]) for i in idxs])
             ok[idxs] = hashes == phash[idxs]
             mean_i[idxs] = stack.mean(axis=(1, 2, 3))
+        # group the clip by BUILDING: all images of one building share the
+        # edge matrix, so their bbox-pruned pixel grids concatenate into a
+        # single f32 GEMM (+ shared f64 border re-test) instead of one
+        # GEMM dispatch per image (VERDICT r3 item 7 — the stage's last
+        # per-row Python hot loop)
+        by_bid: dict = {}
         for i in range(n):
-            rgb = decoded[i]
-            bid = bids[i]
-            if rgb is None or bid is None:
+            if decoded[i] is None or bids[i] is None:
                 continue
-            entry = self._entry(bid)
-            if entry is False:
-                continue
-            h_px, w_px = rgb.shape[0], rgb.shape[1]
-            half_w = w_px * PIXEL_SIZE / 2
-            half_h = h_px * PIXEL_SIZE / 2
-            xs = cx[i] - half_w + (np.arange(w_px) + 0.5) * PIXEL_SIZE
-            ys = cy[i] - half_h + (np.arange(h_px) + 0.5) * PIXEL_SIZE
-            mask = _coverage_mask_entry(xs, ys, entry)  # (h, w) bool
-            cov[i] = float(mask.mean())
-            if mask.any():
-                masked[i] = float(rgb[mask].mean())  # TRUE per-pixel masked mean
+            if self._entry(bids[i]) is not False:
+                by_bid.setdefault(bids[i], []).append(i)
+        for bid, idxs in by_bid.items():
+            entry = self._edges[bid]
+            pts_blocks, metas = [], []
+            for i in idxs:
+                rgb = decoded[i]
+                h_px, w_px = rgb.shape[0], rgb.shape[1]
+                half_w = w_px * PIXEL_SIZE / 2
+                half_h = h_px * PIXEL_SIZE / 2
+                xs = cx[i] - half_w + (np.arange(w_px) + 0.5) * PIXEL_SIZE
+                ys = cy[i] - half_h + (np.arange(h_px) + 0.5) * PIXEL_SIZE
+                pts, mx, my = _grid_points(xs, ys, entry)
+                pts_blocks.append(pts)
+                metas.append((i, mx, my, h_px, w_px))
+            insides = _inside_any_multi(pts_blocks, entry)
+            for (i, mx, my, h_px, w_px), inside in zip(metas, insides):
+                mask = np.zeros((h_px, w_px), dtype=bool)
+                if len(inside):
+                    mask[np.ix_(my, mx)] = inside.reshape(
+                        int(my.sum()), int(mx.sum())
+                    )
+                cov[i] = float(mask.mean())
+                if mask.any():
+                    masked[i] = float(decoded[i][mask].mean())  # TRUE masked mean
         out = batch.drop_columns(["bytes"])
         return (
             out.append_column("pixel_ok", pa.array(ok))
@@ -348,38 +365,80 @@ def edge_entry(tris: np.ndarray):
 _F32_EDGE_TOL = 1e-2
 
 
+def _inside_any_multi(pt_blocks: list, entry) -> list:
+    """Point-in-any-triangle test for SEVERAL point sets sharing one
+    ``edge_entry`` (all images of one building): the sets concatenate into
+    ONE f32 GEMM + border f64 re-test, then split back — the per-image
+    GEMM dispatch loop this replaces was the flagship clip stage's
+    remaining per-row Python (VERDICT r3 item 7). Each block is a
+    (P_i, 2) float64 array of CENTERED pixel coordinates; returns one
+    (P_i,) bool array per block."""
+    E, center, lo, hi, T, E64 = entry
+    sizes = [len(p) for p in pt_blocks]
+    P = int(sum(sizes))
+    if P == 0:
+        return [np.zeros(0, dtype=bool) for _ in pt_blocks]
+    pts = pt_blocks[0] if len(pt_blocks) == 1 else np.concatenate(pt_blocks)
+    inside_any = np.empty(P, dtype=bool)
+    # slab the GEMM so the (slab, 3T) edge matrix + its reduction
+    # temporaries stay cache-resident: one unchunked pass over a
+    # many-image building was measured memory-bandwidth-BOUND (the D
+    # matrix spills to RAM and each .any() streams it back), 1.5x slower
+    # than per-image dispatch; ~2 MB slabs beat both
+    slab = max(1024, (1 << 19) // max(3 * T, 1))  # ≈0.5M f32 elements
+    for s0 in range(0, P, slab):
+        s1 = min(P, s0 + slab)
+        hom = np.empty((s1 - s0, 3), dtype=np.float32)
+        hom[:, :2] = pts[s0:s1]
+        hom[:, 2] = 1.0
+        D = (hom @ E).reshape(s1 - s0, T, 3)
+        neg = (D < 0).any(axis=2)
+        pos = (D > 0).any(axis=2)
+        inside_any[s0:s1] = (~(neg & pos)).any(axis=1)
+        border = np.flatnonzero((np.abs(D) < _F32_EDGE_TOL).any(axis=(1, 2)))
+        if len(border):
+            hom64 = np.empty((len(border), 3), dtype=np.float64)
+            hom64[:, :2] = pts[s0:s1][border]
+            hom64[:, 2] = 1.0
+            D64 = (hom64 @ E64).reshape(len(border), T, 3)
+            neg64 = (D64 < 0).any(axis=2)
+            pos64 = (D64 > 0).any(axis=2)
+            inside_any[s0 + border] = (~(neg64 & pos64)).any(axis=1)
+    out = []
+    off = 0
+    for s in sizes:
+        out.append(inside_any[off : off + s])
+        off += s
+    return out
+
+
+def _grid_points(xs: np.ndarray, ys: np.ndarray, entry):
+    """Bbox-pruned, centered pixel-center point set of one image grid:
+    returns (points (P,2) f64, mx, my) — ``P`` may be 0 when the grid
+    misses the building bbox entirely."""
+    _, center, lo, hi, _, _ = entry
+    mx = (xs >= lo[0]) & (xs <= hi[0])
+    my = (ys >= lo[1]) & (ys <= hi[1])
+    if not mx.any() or not my.any():
+        return np.zeros((0, 2), dtype=np.float64), mx, my
+    gx, gy = np.meshgrid((xs[mx] - center[0]), (ys[my] - center[1]))
+    pts = np.empty((gx.size, 2), dtype=np.float64)
+    pts[:, 0] = gx.ravel()
+    pts[:, 1] = gy.ravel()
+    return pts, mx, my
+
+
 def _coverage_mask_entry(xs: np.ndarray, ys: np.ndarray, entry) -> np.ndarray:
     """(len(ys), len(xs)) bool mask of pixel centers covered by any
     triangle, from a precomputed ``edge_entry``. The bulk test is one f32
     GEMM; pixels with any edge value inside ``_F32_EDGE_TOL`` are re-tested
     in f64, making the mask exact (ADVICE r2: borderline pixels could flip
     inclusion vs a f64 test)."""
-    E, center, lo, hi, T, E64 = entry
     full = np.zeros((len(ys), len(xs)), dtype=bool)
-    mx = (xs >= lo[0]) & (xs <= hi[0])
-    my = (ys >= lo[1]) & (ys <= hi[1])
-    if not mx.any() or not my.any():
+    pts, mx, my = _grid_points(xs, ys, entry)
+    if not len(pts):
         return full
-    gx, gy = np.meshgrid((xs[mx] - center[0]), (ys[my] - center[1]))
-    P = gx.size
-    hom = np.empty((P, 3), dtype=np.float32)
-    hom[:, 0] = gx.ravel()
-    hom[:, 1] = gy.ravel()
-    hom[:, 2] = 1.0
-    D = (hom @ E).reshape(P, T, 3)  # one GEMM for all (pixel, tri, edge)
-    neg = (D < 0).any(axis=2)
-    pos = (D > 0).any(axis=2)
-    inside_any = (~(neg & pos)).any(axis=1)
-    border = np.flatnonzero((np.abs(D) < _F32_EDGE_TOL).any(axis=(1, 2)))
-    if len(border):
-        hom64 = np.empty((len(border), 3), dtype=np.float64)
-        hom64[:, 0] = gx.ravel()[border]
-        hom64[:, 1] = gy.ravel()[border]
-        hom64[:, 2] = 1.0
-        D64 = (hom64 @ E64).reshape(len(border), T, 3)
-        neg64 = (D64 < 0).any(axis=2)
-        pos64 = (D64 > 0).any(axis=2)
-        inside_any[border] = (~(neg64 & pos64)).any(axis=1)
+    inside_any = _inside_any_multi([pts], entry)[0]
     sub = inside_any.reshape(int(my.sum()), int(mx.sum()))
     full[np.ix_(my, mx)] = sub
     return full
