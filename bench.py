@@ -206,6 +206,20 @@ def run_bench() -> dict:
     queries["minhash_neardup_300k"] = round(time.perf_counter() - t0, 3)
     queries["minhash_neardup_300k_pairs"] = int(len(mh_pairs))
 
+    # connected-components scale demo (VERDICT r3 item 5): dup CLUSTERS of
+    # the 300k corpus's verified pair graph — hash-to-min over supergroup
+    # shuffles, rounds-to-fixpoint recorded (the O(log n) claim's datapoint)
+    from citygml2objv2_ray import graph as _graph
+
+    cc_stats: dict = {}
+    t0 = time.perf_counter()
+    cc = _graph.connected_components(
+        _rd.from_pandas(mh_pairs[["doc_a", "doc_b"]]), n_docs, stats_out=cc_stats
+    ).to_pandas()
+    queries["cc_300k_pairs"] = round(time.perf_counter() - t0, 3)
+    queries["cc_300k_rounds"] = int(cc_stats.get("rounds", -1))
+    queries["cc_300k_components"] = int(cc.component_id.nunique())
+
     # per-group quantile scale demo: 1M rows x 100k distinct keys — the
     # cardinality regime where Ray's per-key groupby machinery degrades
     # (50s measured for a plain count at 250k keys); the supergroup

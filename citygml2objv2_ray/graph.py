@@ -117,7 +117,7 @@ def _signature(edges: rd.Dataset) -> tuple[int, int]:
 
 
 def connected_components(
-    pairs: rd.Dataset, n_hint: int, max_rounds: int = 30
+    pairs: rd.Dataset, n_hint: int, max_rounds: int = 30, stats_out: dict | None = None
 ) -> rd.Dataset:
     """Hash-to-min connected components of the undirected graph given as
     a dataset with int64 ``doc_a``/``doc_b`` columns (one row per edge;
@@ -137,18 +137,22 @@ def connected_components(
 
     edges = pairs.map_batches(symmetrize, batch_format="pandas").materialize()
     prev = None
+    rounds = 0
     for _ in range(max_rounds):
         edges = (
             edges.groupby("_sg")
             .map_groups(lambda g: _round_step(g, ng), batch_format="pandas")
             .materialize()
         )
+        rounds += 1
         sig = _signature(edges)
         if sig == prev:
             break
         prev = sig
     else:  # pragma: no cover - O(log n) rounds in practice
         warnings.warn(f"connected_components: no fixpoint in {max_rounds} rounds")
+    if stats_out is not None:
+        stats_out["rounds"] = rounds
 
     def label_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["key", "member"])

@@ -53,6 +53,26 @@ def _hive_parts(images_path: str) -> list[str] | None:
         return None
     return subs or None
 
+
+def _hive_expected_rows(images_path: str) -> dict[str, int] | None:
+    """Exact expected OUTPUT rows per partition from the hive input layout
+    (parquet footers only — the flagship is 1:1 input→output per image).
+    This is what makes a run resumable after a MID-RUN crash: a partition
+    whose logged written rows equal its input rows is complete even if the
+    end-of-run commit pass never happened."""
+    from ..ops import parquet_num_rows
+
+    parts = _hive_parts(images_path)
+    if parts is None:
+        return None
+    out: dict[str, int] = {}
+    for p in parts:
+        n = parquet_num_rows(os.path.join(images_path, f"part={p}"))
+        if n is None:
+            return None
+        out[p] = int(n)
+    return out
+
 IMAGE_COLUMNS = [
     "image_id", "bytes", "w", "h", "fmt", "caption", "phash", "cx", "cy",
 ]
@@ -100,6 +120,20 @@ def run_flagship(
         if not lin.empty:
             commits = lin[lin.stage == f"{STAGE}:commit"]
             completed = set(commits.partition_id.tolist())
+            # MID-RUN-crash resume (no commit markers yet): when the hive
+            # input layout gives exact per-partition expected counts, a
+            # partition whose logged written rows EQUAL the expectation is
+            # complete — the commit pass is end-of-run bookkeeping, not the
+            # source of truth. Strict equality: a short count is a partial
+            # write, an over-count means a retried task double-wrote; both
+            # must be wiped and redone.
+            expected = _hive_expected_rows(images_path)
+            if expected:
+                writes = lin[lin.stage == STAGE]
+                got = writes.groupby("partition_id").rows_out.sum()
+                completed |= {
+                    p for p, n in expected.items() if int(got.get(p, 0)) == n
+                }
             # wipe partial files of uncommitted partitions (idempotent rerun)
             started = set(lin[lin.stage == STAGE].partition_id.tolist())
             for pid in started - completed:

@@ -341,3 +341,55 @@ class TestResize:
         small = Resize._resize(rgb, 2)
         assert small.shape == (2, 2, 3)
         assert np.all(small[0] == 100) and np.all(small[1] == 200)
+
+
+class TestRequiredCodecs:
+    """Env-gated tier-2 codec smoke (VERDICT r3 item 9): this container has
+    no soundfile/PyAV, so by default this SKIPS with a reason like the
+    if-available twins above. A richer deployment sets
+    ``GRAFT_REQUIRE_CODECS=1`` in CI and this test then FAILS (not skips)
+    unless one real compressed audio file and one real mp4 round-trip
+    through the decode shims — proving the optional codec tier instead of
+    silently skipping it."""
+
+    def test_codecs_required_when_env_set(self):
+        import os
+
+        if not os.environ.get("GRAFT_REQUIRE_CODECS"):
+            pytest.skip(
+                "set GRAFT_REQUIRE_CODECS=1 where soundfile/PyAV are installed "
+                "to enforce (not skip) the tier-2 codec paths"
+            )
+        import io
+
+        from citygml2objv2_ray.stages.multimodal import (
+            _decode_audio,
+            _decode_video_frame,
+            pyav_mod,
+            soundfile_mod,
+        )
+
+        sf = soundfile_mod()
+        av = pyav_mod()
+        assert sf is not None, "GRAFT_REQUIRE_CODECS=1 but soundfile is missing"
+        assert av is not None, "GRAFT_REQUIRE_CODECS=1 but PyAV is missing"
+
+        samples = (np.sin(np.linspace(0, 100, 4000)) * 10000).astype(np.int16)
+        fmt = "MP3" if "MP3" in sf.available_formats() else "FLAC"
+        buf = io.BytesIO()
+        sf.write(buf, samples, 16000, format=fmt)
+        back, rate = _decode_audio(buf.getvalue(), fmt.lower())
+        assert rate == 16000 and len(back) >= 3900  # mp3 may pad edges
+
+        vbuf = io.BytesIO()
+        with av.open(vbuf, "w", format="mp4") as c:
+            s = c.add_stream("h264", rate=5)
+            s.width, s.height, s.pix_fmt = 16, 16, "yuv420p"
+            for i in range(5):
+                arr = np.full((16, 16, 3), i * 40, dtype=np.uint8)
+                for pkt in s.encode(av.VideoFrame.from_ndarray(arr, format="rgb24")):
+                    c.mux(pkt)
+            for pkt in s.encode():
+                c.mux(pkt)
+        frame = _decode_video_frame(vbuf.getvalue(), "mp4", 2)
+        assert frame.shape == (16, 16, 3)
