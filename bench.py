@@ -141,6 +141,7 @@ def run_bench() -> dict:
         "q_above_group_avg",
         "q_moving_avg",
         "q_stream_dedup",
+        "q_stream_sessionize",
         "q_model_score",
         "q_cms_counts",
         "q_partition_pruned_scan",

@@ -483,6 +483,202 @@ def q_stream_dedup(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("event_id").reset_index(drop=True)
 
 
+@ray.remote(num_cpus=0)
+class StreamingSessionizer(_ReorderBuffer):
+    """Shard actor for streaming SESSION windows (30-min inactivity gap):
+    holds the pending (not-yet-finalizable) events of ITS user-hash range
+    plus a per-user emitted-session counter, and finalizes a session as
+    soon as the shard watermark passes ``session_end + gap`` — at that
+    point no in-lateness event can extend or merge it, so emission is
+    exactly-once and (with lateness >= the stream's disorder) the union of
+    emissions EQUALS the batch sessionization, giving the streaming path
+    q_sessionize's SQL twin for free. Events arriving below the watermark
+    are dropped and counted (same contract as the window aggregator).
+
+    State per shard is bounded by the lateness horizon: pending holds only
+    events within (watermark, max_ts] plus open session tails — nothing
+    grows with stream length."""
+
+    def __init__(self, gap_us: int, allowed_lateness_us: int, start_seq: int | None = None):
+        self.gap = int(gap_us)
+        self.lateness = int(allowed_lateness_us)
+        self.watermark = np.iinfo(np.int64).min
+        self.late_dropped = 0
+        self.n_processed = 0
+        self._pending_df: pd.DataFrame | None = None
+        self._sess_count: dict = {}  # user_id → sessions emitted so far
+        self._emitted: list[pd.DataFrame] = []
+        self._init_order(start_seq)
+
+    def _apply(self, df: pd.DataFrame) -> None:
+        # df: (user_id, event_id, e) — e = event-time epoch µs
+        self.n_processed += len(df)
+        e = df.e.to_numpy()
+        late = e < self.watermark
+        self.late_dropped += int(late.sum())
+        live = df[~late]
+        self._pending_df = (
+            live
+            if self._pending_df is None
+            else pd.concat([self._pending_df, live], ignore_index=True)
+        )
+        if len(e):
+            self.watermark = max(self.watermark, int(e.max()) - self.lateness)
+        self._finalize_ready()
+
+    def _finalize_ready(self) -> None:
+        g = self._pending_df
+        if g is None or not len(g):
+            return
+        g = g.sort_values(["user_id", "e", "event_id"], kind="stable").reset_index(drop=True)
+        u = g.user_id.to_numpy()
+        e = g.e.to_numpy()
+        new_user = np.concatenate([[True], u[1:] != u[:-1]])
+        new_s = new_user | np.concatenate([[True], np.diff(e) > self.gap])
+        run_id = np.cumsum(new_s) - 1  # 0-based maximal-run index
+        # a run is final iff no in-lateness event can still extend it:
+        # watermark > run_end + gap (run_end = max e of the run)
+        run_end = np.zeros(run_id[-1] + 1, dtype=np.int64)
+        np.maximum.at(run_end, run_id, e)
+        final_run = run_end + self.gap < self.watermark
+        fin_mask = final_run[run_id]
+        fin = g[fin_mask]
+        self._pending_df = g[~fin_mask]
+        if not len(fin):
+            return
+        rid = run_id[fin_mask]
+        starts = np.flatnonzero(np.concatenate([[True], rid[1:] != rid[:-1]]))
+        fu = fin.user_id.to_numpy()[starts]
+        fe = fin.e.to_numpy()
+        counts = np.diff(np.concatenate([starts, [len(fin)]]))
+        ends = fe[np.concatenate([starts[1:] - 1, [len(fin) - 1]])]
+        # per-user session numbering continues across finalizations; runs
+        # of one user finalize in time order by construction (a later run
+        # can only finalize at a later-or-equal watermark)
+        sid = np.empty(len(starts), dtype=np.int64)
+        for j, user in enumerate(fu):
+            nxt = self._sess_count.get(user, 0) + 1
+            self._sess_count[user] = nxt
+            sid[j] = nxt
+        self._emitted.append(
+            pd.DataFrame(
+                {
+                    "user_id": fu,
+                    "session_id": sid,
+                    "n_events": counts.astype(np.int64),
+                    "session_start": fe[starts].astype(np.int64),
+                    "session_end": ends.astype(np.int64),
+                }
+            )
+        )
+
+    def flush(self) -> None:
+        self.watermark = np.iinfo(np.int64).max
+        self._finalize_ready()
+
+    def drain(self) -> dict:
+        self._drain_pending()
+        self.flush()
+        rows = (
+            pd.concat(self._emitted, ignore_index=True)
+            if self._emitted
+            else pd.DataFrame(
+                columns=["user_id", "session_id", "n_events", "session_start", "session_end"]
+            )
+        )
+        return {
+            "rows": rows,
+            "stats": {
+                "late_dropped": self.late_dropped,
+                "n_processed": self.n_processed,
+                "pending": 0 if self._pending_df is None else int(len(self._pending_df)),
+            },
+        }
+
+
+def stream_sessionize(
+    sf_dir: str,
+    gap_us: int = 1_800_000_000,
+    allowed_lateness_us: int = 86_400_000_000,
+    batch_size: int = 8192,
+    n_shards: int = 4,
+) -> tuple[pd.DataFrame, dict]:
+    """Sharded streaming sessionization of the events table (30-min gap),
+    routed from map_batches tasks like the other streaming operators —
+    no driver data loop; the driver collects only finalized session rows."""
+    import ray.data as rd
+
+    from .ops import parquet_col_min
+    from .relational import _t
+
+    events_path = _t(sf_dir, "events")
+    ds = rd.read_parquet(events_path, columns=["event_id", "user_id", "ts"])
+    start = parquet_col_min(events_path, "event_id")
+    shards = [
+        StreamingSessionizer.remote(gap_us, allowed_lateness_us, start_seq=start)
+        for _ in range(n_shards)
+    ]
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df.user_id,
+                "event_id": df.event_id,
+                "e": df.ts.values.astype("datetime64[us]").astype(np.int64),
+            }
+        )
+
+    def shard_of(df: pd.DataFrame) -> np.ndarray:
+        h = pd.util.hash_pandas_object(df.user_id, index=False).to_numpy()
+        return (h % np.uint64(n_shards)).astype(np.int64)
+
+    route_stream(ds, shards, shard_of, prep=prep, seq_col="event_id", batch_size=batch_size)
+    drains = ray.get([s.drain.remote() for s in shards])
+    for s in shards:
+        ray.kill(s)
+    parts = [d["rows"] for d in drains if len(d["rows"])]
+    df = (
+        pd.concat(parts, ignore_index=True)
+        if parts
+        else pd.DataFrame(
+            columns=["user_id", "session_id", "n_events", "session_start", "session_end"]
+        )
+    )
+    stats = {
+        "late_dropped": int(sum(d["stats"]["late_dropped"] for d in drains)),
+        "n_processed": int(sum(d["stats"]["n_processed"] for d in drains)),
+        "n_shards": n_shards,
+    }
+    df = df.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    for c in ("session_id", "n_events", "session_start", "session_end"):
+        df[c] = df[c].astype(np.int64)
+    return df, stats
+
+
+@query(
+    "q_stream_sessionize",
+    """
+    WITH d AS (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS e FROM events),
+         m AS (SELECT *, CASE WHEN e - LAG(e) OVER w > 1800000000
+                              OR LAG(e) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+               FROM d WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id)),
+         s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY e, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+               FROM m)
+    SELECT user_id, CAST(sid AS BIGINT) AS session_id, COUNT(*) AS n_events,
+           MIN(e) AS session_start, MAX(e) AS session_end
+    FROM s GROUP BY user_id, sid ORDER BY user_id, session_id
+    """,
+)
+def q_stream_sessionize(sf_dir: str) -> pd.DataFrame:
+    """STREAMING session windows (sharded stateful pool, watermark-expired
+    sessions, exactly-once emission) must finalize to exactly the batch
+    sessionization when allowed_lateness covers the stream's disorder —
+    the DuckDB twin is q_sessionize's batch SQL."""
+    df, _ = stream_sessionize(sf_dir)
+    return df
+
+
 def synth_events(out_dir: str, n: int = 10_000_000, n_types: int = 8, seed: int = 5) -> str:
     """Deterministic synthetic events table for the streaming SCALE demo
     (cached under ``out_dir`` keyed by params, same pattern as

@@ -156,3 +156,43 @@ class TestOrderedRouting:
         assert out["rows"].key.tolist() == ["k"]
         assert out["stats"] == {"n_seen": 1, "n_dropped": 0}
         ray.kill(d)
+
+
+class TestStreamSessionize:
+    def test_equals_batch_sessionize(self, ray_session):
+        from citygml2objv2_ray import relational_ext  # noqa: F401 - registers q_sessionize
+        from citygml2objv2_ray.relational import REGISTRY
+        from citygml2objv2_ray.streaming import stream_sessionize
+
+        got, stats = stream_sessionize(SF, n_shards=3)
+        want = REGISTRY["q_sessionize"](SF)
+        assert stats["late_dropped"] == 0
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
+
+    def test_sessions_finalize_midstream_and_late_events_drop(self, ray_session):
+        """A session whose end+gap fell below the watermark is finalized
+        mid-stream: a later in-session-range event must be DROPPED as late
+        (exactly-once emission), not merged into the emitted session."""
+        import ray
+
+        from citygml2objv2_ray.streaming import StreamingSessionizer
+
+        GAP = 100
+        s = StreamingSessionizer.remote(GAP, allowed_lateness_us=0, start_seq=0)
+        b1 = pd.DataFrame({"user_id": [7, 7], "event_id": [0, 1], "e": [10, 50]})
+        ray.get(s.ingest_range.remote(0, 1, b1))
+        # watermark 50: session [10,50] not final yet (50+100 >= 50)
+        b2 = pd.DataFrame({"user_id": [7], "event_id": [2], "e": [500]})
+        ray.get(s.ingest_range.remote(2, 2, b2))
+        # watermark 500 > 50+100: session 1 finalized; event 500 pending
+        late = pd.DataFrame({"user_id": [7], "event_id": [3], "e": [60]})
+        ray.get(s.ingest_range.remote(3, 3, late))  # e < watermark → dropped
+        out = ray.get(s.drain.remote())
+        rows = out["rows"].sort_values("session_id").reset_index(drop=True)
+        assert rows.session_id.tolist() == [1, 2]
+        assert rows.n_events.tolist() == [2, 1]
+        assert rows.session_end.tolist() == [50, 500]  # late 60 NOT merged
+        assert out["stats"]["late_dropped"] == 1
+        ray.kill(s)
