@@ -151,6 +151,8 @@ def run_bench() -> dict:
         "q_csv_source",
         "q_global_sort_slice",
         "q_corpus_prep",
+        "q_pack_chunks",
+        "q_dedup_corpus",
     ]:
         fn = relational.REGISTRY[name]
         t0 = time.perf_counter()

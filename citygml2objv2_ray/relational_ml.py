@@ -1092,3 +1092,183 @@ def q_corpus_prep(sf_dir: str) -> pd.DataFrame:
     df["n_docs"] = df.n_docs.astype(np.int64)
     df["sum_tokens"] = df.sum_n_tokens.astype(np.int64)
     return df[["split", "n_docs", "sum_tokens"]]
+
+
+PACK_BUDGET = 2048  # tokens per training chunk (GPT-style doc packing)
+
+
+@query(
+    "q_pack_chunks",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE CAST(array_length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               END AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        FROM t
+    )
+    SELECT CAST(prior // {PACK_BUDGET} AS BIGINT) AS chunk_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM c GROUP BY chunk_id ORDER BY chunk_id
+    """,
+)
+def q_pack_chunks(sf_dir: str) -> pd.DataFrame:
+    """Token-budget SEQUENCE PACKING — the LLM-training prep op that
+    concatenates the doc_id-ordered corpus and cuts it into fixed
+    ``PACK_BUDGET``-token chunks; a doc belongs to the chunk containing
+    its FIRST token (the standard doc-level assignment of GPT-style
+    packing). The hard part at scale is the ORDERED GLOBAL PREFIX SUM of
+    token counts; implemented as the classic two-pass distributed scan:
+
+    1. tokenize once into a materialized int-only (doc_id, n_tokens)
+       dataset (fixed block structure — blocks of a materialized dataset
+       are stable ordered doc ranges because the source parquet is
+       doc_id-ordered);
+    2. per-block partial: ONE row per block (min_doc, sum) — the only
+       thing the driver ever sees (k = num_blocks, not corpus rows);
+       driver exclusive-prefix-sums the block sums into an offset per
+       block, broadcast as a tiny dict keyed by the block's min doc_id;
+    3. second pass over the SAME materialized blocks: within-block
+       exclusive cumsum + the block offset = each doc's global prior,
+       chunk_id = prior // budget; per-block partial chunk aggregates,
+       then a small final groupby merges the (rare) chunks straddling a
+       block edge.
+
+    At 100 TB both passes stream; the driver holds one row per block."""
+    import ray
+
+    from .ops import derive_num_blocks, partial_groupby_sum
+
+    nd = _nrows(sf_dir, "documents")
+    docs = rd.read_parquet(
+        _t(sf_dir, "documents"),
+        columns=["doc_id", "text"],
+        override_num_blocks=derive_num_blocks(nd, target_rows=4096),
+    )
+
+    def tokenize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df.doc_id.to_numpy(np.int64),
+                "n_tokens": tx.token_count(df.text),
+            }
+        )
+
+    toks = docs.map_batches(tokenize, batch_format="pandas").materialize()
+
+    def block_sum(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"min_doc": [int(df.doc_id.min())], "block_sum": [int(df.n_tokens.sum())]}
+        )
+
+    sums = (
+        toks.map_batches(block_sum, batch_format="pandas", batch_size=None)
+        .to_pandas()
+        .sort_values("min_doc")
+        .reset_index(drop=True)
+    )
+    offsets = {
+        int(m): int(o)
+        for m, o in zip(
+            sums.min_doc, np.concatenate([[0], np.cumsum(sums.block_sum.to_numpy())[:-1]])
+        )
+    }
+    off_ref = ray.put(offsets)
+
+    def assign_chunks(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        df = df.sort_values("doc_id", kind="stable")
+        n = df.n_tokens.to_numpy(np.int64)
+        prior = off[int(df.doc_id.min())] + np.concatenate([[0], np.cumsum(n)[:-1]])
+        chunk = (prior // PACK_BUDGET).astype(np.int64)
+        g = df.assign(chunk_id=chunk).groupby("chunk_id", as_index=False).agg(
+            n_docs=("doc_id", "size"),
+            n_tokens=("n_tokens", "sum"),
+            first_doc=("doc_id", "min"),
+            last_doc=("doc_id", "max"),
+        )
+        return g
+
+    partials = toks.map_batches(assign_chunks, batch_format="pandas", batch_size=None)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("chunk_id", as_index=False).agg(
+            n_docs=("n_docs", "sum"),
+            n_tokens=("n_tokens", "sum"),
+            first_doc=("first_doc", "min"),
+            last_doc=("last_doc", "max"),
+        )
+
+    out = merge(partials.to_pandas()).sort_values("chunk_id").reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+@query(
+    "q_dedup_corpus",
+    f"""
+    WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM njpairs
+        UNION SELECT doc_b, doc_a FROM njpairs
+    ),
+    walk(u, label) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT e.u, w.label FROM edges e JOIN walk w ON w.u = e.v
+    ),
+    comp AS (
+        SELECT u AS doc_id, LEAST(u, MIN(label)) AS component_id
+        FROM walk GROUP BY u
+    )
+    SELECT d.doc_id,
+           CASE WHEN trim(d.text) = '' THEN 0
+                ELSE CAST(array_length(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT)
+           END AS n_tokens
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component_id)
+    ORDER BY d.doc_id
+    """,
+)
+def q_dedup_corpus(sf_dir: str, threshold: float = 0.5, df_cap: int = 50) -> pd.DataFrame:
+    """KEEP-CANONICAL corpus dedup end to end — the composed pipeline a
+    training-data run actually executes: exact n-gram near-dup pair graph
+    → distributed connected components → drop every cluster member except
+    the canonical minimum → the surviving corpus (with token counts, ready
+    for packing). The drop set is output-scale (bounded by the dup count),
+    so it broadcasts via ``ray.put`` and the corpus-side anti-join is a
+    map-side filter (``ops.broadcast_semi_anti_filter`` — the D4 pattern);
+    the corpus itself never shuffles."""
+    import ray
+
+    from . import graph
+    from .ops import broadcast_semi_anti_filter
+
+    pairs_ds, nd = ngram_jaccard_pairs_ds(sf_dir, threshold, df_cap)
+    cc = graph.connected_components(pairs_ds, nd).to_pandas()
+    drop = (
+        set(cc[cc.doc_id != cc.component_id].doc_id.tolist()) if len(cc) else set()
+    )
+    drop_ref = ray.put(np.array(sorted(drop), dtype=np.int64))
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    kept = broadcast_semi_anti_filter(docs, "doc_id", drop_ref, anti=True)
+
+    def tokenize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df.doc_id.to_numpy(np.int64),
+                "n_tokens": tx.token_count(df.text),
+            }
+        )
+
+    out = kept.map_batches(tokenize, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
