@@ -269,13 +269,13 @@ def verify_pairs_jaccard_ds(
 
     KIND_DOC, KIND_PAIR = np.int8(0), np.int8(1)
 
-    # GLOBAL PAIR-DEDUP FIRST (r4): a pair found by several LSH bands (or
-    # several shared index grams) arrives once per band — measured 268k
-    # candidate rows for 16k distinct pairs at sf0.1. Dedup the INT-ONLY
-    # pair rows before anything text-bearing moves: one cheap shuffle here
-    # shrinks both verify shuffles and the in-group shingle work by the
-    # duplication factor. (verify_group keeps its own drop_duplicates as a
-    # cheap idempotent guard.)
+    # OPTIONAL global pair-dedup first: a pair found by several LSH bands
+    # (or several shared index grams) arrives once per band; when the
+    # duplication factor is high, deduping the INT-ONLY pair rows before
+    # anything text-bearing moves shrinks both verify shuffles. (At sf0.1
+    # the candidate set is ~261k pairs and already ~97% distinct, so the
+    # extra shuffle isn't worth it there — attach_text's free in-shuffle
+    # dedup covers the residue; hence default False.)
     if pre_dedup:
         pairs = dd.dedup_pairs(pairs, "doc_a", "doc_b", ng)
     if bloom:
@@ -344,9 +344,8 @@ def verify_pairs_jaccard_ds(
         # (a,b)'s side-0 half has key=a (side-1: key=b), so all duplicates
         # of a half land in this group — dropping them here (ints only,
         # before any text attaches) shrinks the second shuffle and the
-        # shingle work by the LSH duplication factor (measured 268k
-        # candidate rows -> 16k distinct pairs at sf0.1) with NO extra
-        # shuffle or barrier.
+        # in-group shingle work by the band-duplication factor, with NO
+        # extra shuffle or barrier.
         ph = g[g.kind == KIND_PAIR].drop_duplicates(["doc_a", "doc_b", "side"])
         if not len(ph):
             return HALF_EMPTY
