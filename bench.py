@@ -182,11 +182,17 @@ def run_bench() -> dict:
     )
     ann.ivf_query_cached(emb, range(20), k=5, n_lists=64, nprobe=6)  # build/warm
     t0 = time.perf_counter()
-    ann.brute_search_distributed(emb, range(20), k=5)
+    brute_res = ann.brute_search_distributed(emb, range(20), k=5)
     queries["ann_brute_1m"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
-    ann.ivf_query_cached(emb, range(20), k=5, n_lists=64, nprobe=6)
+    ivf_res = ann.ivf_query_cached(emb, range(20), k=5, n_lists=64, nprobe=6)
     queries["ann_ivf_1m"] = round(time.perf_counter() - t0, 3)
+    # recall@5 of the pruned search vs the exact scan (the quality side of
+    # the 1.7x pruning speedup — both results are already in hand)
+    bsets = brute_res.groupby("query_id").neighbor_id.apply(set)
+    isets = ivf_res.groupby("query_id").neighbor_id.apply(set)
+    hits = sum(len(bsets[q] & isets.get(q, set())) for q in bsets.index)
+    queries["ann_ivf_recall_at5"] = round(hits / (5 * len(bsets)), 3)
 
     # MinHash near-dup scale demo (VERDICT r2 item 2): the full distributed
     # LSH + verify plan over a synthetic 300k-doc corpus with a sparse
@@ -266,6 +272,26 @@ def run_bench() -> dict:
     queries["stream_window_10m"] = round(dt, 3)
     queries["stream_window_10m_rows_s"] = int(n_ev / dt)
     assert wstats["n_processed"] == n_ev and wstats["late_dropped"] == 0, wstats
+
+    # streaming sessionize at the same scale: 10M events x 500k users, per
+    # user-hash shards, watermark-expired sessions, no driver data loop —
+    # output is corpus-scale (~9.9M sessions at these params: worst case,
+    # nearly every event its own session), so the shards SPILL to parquet
+    # (collect=False) and the driver sees only file paths
+    t0 = time.perf_counter()
+    spaths, sstats = _st.stream_sessionize_path(
+        ev_path, n_shards=8, batch_size=65536, collect=False
+    )
+    dt = time.perf_counter() - t0
+    n_sessions = int(_rd.read_parquet(spaths).count()) if spaths else 0
+    queries["stream_sessionize_10m"] = round(dt, 3)
+    queries["stream_sessionize_10m_rows_s"] = int(n_ev / dt)
+    queries["stream_sessionize_10m_sessions"] = n_sessions
+    assert sstats["n_processed"] == n_ev and sstats["late_dropped"] == 0, sstats
+    import shutil as _sh
+
+    if spaths:
+        _sh.rmtree(os.path.dirname(spaths[0]), ignore_errors=True)
 
     return {
         "metric": "spatial-join + tile-assignment throughput",

@@ -499,7 +499,15 @@ class StreamingSessionizer(_ReorderBuffer):
     events within (watermark, max_ts] plus open session tails — nothing
     grows with stream length."""
 
-    def __init__(self, gap_us: int, allowed_lateness_us: int, start_seq: int | None = None):
+    def __init__(
+        self,
+        gap_us: int,
+        allowed_lateness_us: int,
+        start_seq: int | None = None,
+        spill_dir: str | None = None,
+        shard_id: int = 0,
+        spill_rows: int = 131072,
+    ):
         self.gap = int(gap_us)
         self.lateness = int(allowed_lateness_us)
         self.watermark = np.iinfo(np.int64).min
@@ -508,7 +516,25 @@ class StreamingSessionizer(_ReorderBuffer):
         self._pending_df: pd.DataFrame | None = None
         self._sess_count: dict = {}  # user_id → sessions emitted so far
         self._emitted: list[pd.DataFrame] = []
+        self._emitted_rows = 0
+        self.spill_dir = spill_dir
+        self.shard_id = int(shard_id)
+        self.spill_rows = int(spill_rows)
+        self._paths: list[str] = []
         self._init_order(start_seq)
+
+    def _spill(self) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.spill_dir, exist_ok=True)
+        path = os.path.join(
+            self.spill_dir, f"shard{self.shard_id:03d}-part{len(self._paths):05d}.parquet"
+        )
+        out = pd.concat(self._emitted, ignore_index=True)
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), path)
+        self._paths.append(path)
+        self._emitted, self._emitted_rows = [], 0
 
     def _apply(self, df: pd.DataFrame) -> None:
         # df: (user_id, event_id, e) — e = event-time epoch µs
@@ -571,23 +597,36 @@ class StreamingSessionizer(_ReorderBuffer):
                 }
             )
         )
+        self._emitted_rows += len(starts)
+        if self.spill_dir is not None and self._emitted_rows >= self.spill_rows:
+            self._spill()
 
     def flush(self) -> None:
         self.watermark = np.iinfo(np.int64).max
         self._finalize_ready()
 
     def drain(self) -> dict:
+        """Terminal call: spill/return the finalized sessions — parquet
+        paths in spill mode (the 100-TB form: session output is
+        corpus-scale and never transits the driver), else the in-memory
+        frame."""
         self._drain_pending()
         self.flush()
-        rows = (
-            pd.concat(self._emitted, ignore_index=True)
-            if self._emitted
-            else pd.DataFrame(
-                columns=["user_id", "session_id", "n_events", "session_start", "session_end"]
+        rows = None
+        if self.spill_dir is not None:
+            if self._emitted_rows:
+                self._spill()
+        else:
+            rows = (
+                pd.concat(self._emitted, ignore_index=True)
+                if self._emitted
+                else pd.DataFrame(
+                    columns=["user_id", "session_id", "n_events", "session_start", "session_end"]
+                )
             )
-        )
         return {
             "rows": rows,
+            "paths": self._paths,
             "stats": {
                 "late_dropped": self.late_dropped,
                 "n_processed": self.n_processed,
@@ -596,27 +635,35 @@ class StreamingSessionizer(_ReorderBuffer):
         }
 
 
-def stream_sessionize(
-    sf_dir: str,
+def stream_sessionize_path(
+    events_path: str,
     gap_us: int = 1_800_000_000,
     allowed_lateness_us: int = 86_400_000_000,
     batch_size: int = 8192,
     n_shards: int = 4,
-) -> tuple[pd.DataFrame, dict]:
-    """Sharded streaming sessionization of the events table (30-min gap),
-    routed from map_batches tasks like the other streaming operators —
-    no driver data loop; the driver collects only finalized session rows."""
+    collect: bool = True,
+):
+    """Sharded streaming sessionization of an events parquet table (30-min
+    gap), routed from map_batches tasks like the other streaming operators
+    — no driver data loop. ``collect=True`` returns the finalized session
+    frame (oracle path, output is key-bounded at sf scale);
+    ``collect=False`` has the shards SPILL finalized sessions to per-shard
+    parquet and returns (paths, stats) — the 100-TB form, since session
+    output is corpus-scale."""
+    import tempfile
+
     import ray.data as rd
 
     from .ops import parquet_col_min
-    from .relational import _t
 
-    events_path = _t(sf_dir, "events")
     ds = rd.read_parquet(events_path, columns=["event_id", "user_id", "ts"])
     start = parquet_col_min(events_path, "event_id")
+    spill_dir = None if collect else tempfile.mkdtemp(prefix="stream_sess_", dir="/tmp")
     shards = [
-        StreamingSessionizer.remote(gap_us, allowed_lateness_us, start_seq=start)
-        for _ in range(n_shards)
+        StreamingSessionizer.remote(
+            gap_us, allowed_lateness_us, start_seq=start, spill_dir=spill_dir, shard_id=i
+        )
+        for i in range(n_shards)
     ]
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
@@ -636,7 +683,14 @@ def stream_sessionize(
     drains = ray.get([s.drain.remote() for s in shards])
     for s in shards:
         ray.kill(s)
-    parts = [d["rows"] for d in drains if len(d["rows"])]
+    stats = {
+        "late_dropped": int(sum(d["stats"]["late_dropped"] for d in drains)),
+        "n_processed": int(sum(d["stats"]["n_processed"] for d in drains)),
+        "n_shards": n_shards,
+    }
+    if not collect:
+        return [p for d in drains for p in d["paths"]], stats
+    parts = [d["rows"] for d in drains if d["rows"] is not None and len(d["rows"])]
     df = (
         pd.concat(parts, ignore_index=True)
         if parts
@@ -644,15 +698,29 @@ def stream_sessionize(
             columns=["user_id", "session_id", "n_events", "session_start", "session_end"]
         )
     )
-    stats = {
-        "late_dropped": int(sum(d["stats"]["late_dropped"] for d in drains)),
-        "n_processed": int(sum(d["stats"]["n_processed"] for d in drains)),
-        "n_shards": n_shards,
-    }
     df = df.sort_values(["user_id", "session_id"]).reset_index(drop=True)
     for c in ("session_id", "n_events", "session_start", "session_end"):
         df[c] = df[c].astype(np.int64)
     return df, stats
+
+
+def stream_sessionize(
+    sf_dir: str,
+    gap_us: int = 1_800_000_000,
+    allowed_lateness_us: int = 86_400_000_000,
+    batch_size: int = 8192,
+    n_shards: int = 4,
+) -> tuple[pd.DataFrame, dict]:
+    """`stream_sessionize_path` over the driver events table of ``sf_dir``."""
+    from .relational import _t
+
+    return stream_sessionize_path(
+        _t(sf_dir, "events"),
+        gap_us=gap_us,
+        allowed_lateness_us=allowed_lateness_us,
+        batch_size=batch_size,
+        n_shards=n_shards,
+    )
 
 
 @query(
@@ -679,18 +747,21 @@ def q_stream_sessionize(sf_dir: str) -> pd.DataFrame:
     return df
 
 
-def synth_events(out_dir: str, n: int = 10_000_000, n_types: int = 8, seed: int = 5) -> str:
-    """Deterministic synthetic events table for the streaming SCALE demo
+def synth_events(
+    out_dir: str, n: int = 10_000_000, n_types: int = 8, n_users: int = 500_000, seed: int = 5
+) -> str:
+    """Deterministic synthetic events table for the streaming SCALE demos
     (cached under ``out_dir`` keyed by params, same pattern as
     ``dedup.synth_documents``): dense arrival-seq ``event_id`` 0..n-1 in
     row order, ~30-day event-time span with ±1 h jitter (disorder far
     below the default 24 h lateness, so the stream equals the batch
-    window), ``n_types`` event types, 64k row groups so Ray splits the
-    read into ~n/65536 blocks."""
+    window/sessionization), ``n_types`` event types, ``n_users`` users
+    (the sessionizer's key space), 64k row groups so Ray splits the read
+    into ~n/65536 blocks."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    path = os.path.join(out_dir, f"events-n{n}-t{n_types}-s{seed}-v1.parquet")
+    path = os.path.join(out_dir, f"events-n{n}-t{n_types}-u{n_users}-s{seed}-v2.parquet")
     if os.path.exists(path):
         return path
     os.makedirs(out_dir, exist_ok=True)
@@ -706,6 +777,7 @@ def synth_events(out_dir: str, n: int = 10_000_000, n_types: int = 8, seed: int 
         {
             "event_id": pa.array(np.arange(n, dtype=np.int64)),
             "event_type": pa.array(types[rng.integers(0, n_types, size=n)]),
+            "user_id": pa.array(rng.integers(0, n_users, size=n, dtype=np.int64)),
             "ts": pa.array(ts, type=pa.timestamp("us")),
             "value": pa.array(rng.random(n)),
         }
