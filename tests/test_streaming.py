@@ -196,3 +196,79 @@ class TestStreamSessionize:
         assert rows.session_end.tolist() == [50, 500]  # late 60 NOT merged
         assert out["stats"]["late_dropped"] == 1
         ray.kill(s)
+
+
+class TestRouteStreamInputShapes:
+    def test_multi_file_input_routes_in_order(self, ray_session, tmp_path):
+        """Ordered delivery must survive an input split across several
+        parquet files (read tasks produce per-file contiguous batches in
+        file order) — the shard pool's result still equals the batch
+        window."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from citygml2objv2_ray.streaming import stream_window
+
+        rng = np.random.default_rng(9)
+        n, base = 3000, 1_700_000_000_000_000
+        ts = base + np.arange(n, dtype=np.int64) * 1_000_000 + rng.integers(
+            -500_000, 500_000, size=n
+        )
+        vals = rng.random(n)
+        d = tmp_path / "events3"
+        d.mkdir()
+        for i, sl in enumerate([slice(0, 1000), slice(1000, 2100), slice(2100, n)]):
+            ids = np.arange(n, dtype=np.int64)[sl]
+            pq.write_table(
+                pa.table(
+                    {
+                        "event_id": pa.array(ids),
+                        "event_type": pa.array([f"t{j % 3}" for j in ids]),
+                        "ts": pa.array(ts[sl], type=pa.timestamp("us")),
+                        "value": pa.array(vals[sl]),
+                    }
+                ),
+                str(d / f"part-{i:02d}.parquet"),
+            )
+        got, stats = stream_window(str(d), n_shards=3, batch_size=256)
+        assert stats["n_processed"] == n and stats["late_dropped"] == 0
+        want = (
+            pd.DataFrame(
+                {
+                    "event_type": [f"t{j % 3}" for j in range(n)],
+                    "window_start": (ts // 3_600_000_000) * 3_600,
+                    "value": vals,
+                }
+            )
+            .groupby(["event_type", "window_start"], as_index=False)
+            .agg(n=("value", "size"), sum_value=("value", "sum"))
+        )
+        want["sum_value"] = want.sum_value.round(4)
+        want = want.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_non_dense_seq_rejected(self, ray_session, tmp_path):
+        """A source whose arrival-seq column has gaps must fail loudly —
+        silent gaps would stall or misorder every shard."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from citygml2objv2_ray.streaming import stream_window
+
+        ids = np.array([0, 1, 3, 4], dtype=np.int64)  # gap at 2
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(ids),
+                    "event_type": pa.array(["a"] * 4),
+                    "ts": pa.array(
+                        np.full(4, 1_700_000_000_000_000, dtype=np.int64),
+                        type=pa.timestamp("us"),
+                    ),
+                    "value": pa.array([1.0] * 4),
+                }
+            ),
+            str(tmp_path / "gap.parquet"),
+        )
+        with pytest.raises(Exception, match="DENSE arrival-seq|dense"):
+            stream_window(str(tmp_path / "gap.parquet"), n_shards=2, batch_size=16)
