@@ -515,6 +515,7 @@ class StreamingSessionizer(_ReorderBuffer):
         self.n_processed = 0
         self._pending_df: pd.DataFrame | None = None
         self._sess_count: dict = {}  # user_id → sessions emitted so far
+        self._last_finalize_wm = np.iinfo(np.int64).min
         self._emitted: list[pd.DataFrame] = []
         self._emitted_rows = 0
         self.spill_dir = spill_dir
@@ -550,7 +551,16 @@ class StreamingSessionizer(_ReorderBuffer):
         )
         if len(e):
             self.watermark = max(self.watermark, int(e.max()) - self.lateness)
-        self._finalize_ready()
+        # finalize in WATERMARK QUANTA, not per slice: each finalize pass
+        # re-sorts the whole pending backlog (bounded by the lateness
+        # horizon), so running it only when the watermark has advanced by
+        # >= gap amortizes the sort without changing ANY output — late
+        # drops depend on the watermark alone, a run's finality condition
+        # is monotone in the watermark, and per-user numbering stays in
+        # time order because runs finalize at non-decreasing watermarks.
+        if self.watermark - self._last_finalize_wm >= self.gap:
+            self._finalize_ready()
+            self._last_finalize_wm = self.watermark
 
     def _finalize_ready(self) -> None:
         g = self._pending_df
