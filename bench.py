@@ -142,6 +142,7 @@ def run_bench() -> dict:
         "q_moving_avg",
         "q_stream_dedup",
         "q_stream_sessionize",
+        "q_stream_interval_join",
         "q_model_score",
         "q_cms_counts",
         "q_partition_pruned_scan",

@@ -757,6 +757,223 @@ def q_stream_sessionize(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+@ray.remote(num_cpus=0)
+class StreamingIntervalJoiner(_ReorderBuffer):
+    """Shard actor for a STREAM-STREAM windowed (interval) join: count the
+    left-stream events ('click') in the ``window_us`` up to each
+    right-stream event ('purchase'), per user — the streaming form of
+    ``q_interval_join``. State is bounded by the (window + lateness)
+    horizon, never the stream:
+
+    - a purchase FINALIZES once the watermark passes its event time (no
+      in-lateness click with e <= purchase_e can still arrive), emitting
+      (purchase_id, n_recent_clicks) exactly once;
+    - clicks are PRUNED once ``e < watermark - window`` — every purchase
+      that could still count them has finalized or will look later;
+    - events below the watermark at arrival drop and count (both streams).
+
+    Counting inside a finalize pass is the same double backward
+    ``merge_asof`` against the per-user click cumcount as the batch
+    operator (O((C+P) log), no pair expansion), run once per watermark
+    quantum. With lateness >= the stream's disorder nothing drops and the
+    emitted rows EQUAL the batch interval join — q_interval_join's SQL
+    twin checks the streaming path for free."""
+
+    def __init__(
+        self,
+        window_us: int,
+        allowed_lateness_us: int,
+        start_seq: int | None = None,
+    ):
+        self.window = int(window_us)
+        self.lateness = int(allowed_lateness_us)
+        self.watermark = np.iinfo(np.int64).min
+        self.late_dropped = 0
+        self.n_processed = 0
+        self._clicks: pd.DataFrame | None = None
+        self._purchases: pd.DataFrame | None = None
+        self._last_finalize_wm = np.iinfo(np.int64).min
+        self._emitted: list[pd.DataFrame] = []
+        self._init_order(start_seq)
+
+    def _apply(self, df: pd.DataFrame) -> None:
+        # df: (user_id, event_id, event_type, e)
+        self.n_processed += len(df)
+        e = df.e.to_numpy()
+        late = e < self.watermark
+        self.late_dropped += int(late.sum())
+        live = df[~late]
+        ck = live[live.event_type == "click"][["user_id", "e"]]
+        pu = live[live.event_type == "purchase"][["user_id", "event_id", "e"]]
+        if len(ck):
+            self._clicks = (
+                ck if self._clicks is None else pd.concat([self._clicks, ck], ignore_index=True)
+            )
+        if len(pu):
+            self._purchases = (
+                pu
+                if self._purchases is None
+                else pd.concat([self._purchases, pu], ignore_index=True)
+            )
+        if len(e):
+            self.watermark = max(self.watermark, int(e.max()) - self.lateness)
+        if self.watermark - self._last_finalize_wm >= self.window:
+            self._finalize_ready()
+            self._last_finalize_wm = self.watermark
+
+    def _finalize_ready(self) -> None:
+        pur = self._purchases
+        if pur is None or not len(pur):
+            self._prune_clicks()
+            return
+        fin_mask = pur.e.to_numpy() < self.watermark
+        fin = pur[fin_mask]
+        self._purchases = pur[~fin_mask]
+        if len(fin):
+            self._emitted.append(self._count_window(fin))
+        self._prune_clicks()
+
+    def _count_window(self, pur: pd.DataFrame) -> pd.DataFrame:
+        clicks = self._clicks
+        if clicks is None or not len(clicks):
+            return pd.DataFrame(
+                {
+                    "purchase_id": pur.event_id.to_numpy(np.int64),
+                    "n_recent_clicks": np.zeros(len(pur), np.int64),
+                }
+            )
+        ck = clicks.sort_values(["e", "user_id"], kind="stable")
+        ck = ck.assign(cum=ck.groupby("user_id", sort=False).cumcount().to_numpy() + 1)
+        hi = pur.sort_values("e", kind="stable")
+        a1 = pd.merge_asof(hi, ck, on="e", by="user_id", direction="backward")
+        lo = hi.assign(e=hi.e - self.window - 1)
+        a2 = pd.merge_asof(
+            lo.sort_values("e", kind="stable"), ck, on="e", by="user_id", direction="backward"
+        )
+        c_hi = a1.set_index("event_id").cum.fillna(0)
+        c_lo = a2.set_index("event_id").cum.fillna(0)
+        n = (c_hi - c_lo.reindex(c_hi.index).fillna(0)).astype(np.int64)
+        return pd.DataFrame(
+            {"purchase_id": n.index.to_numpy(np.int64), "n_recent_clicks": n.to_numpy()}
+        )
+
+    def _prune_clicks(self) -> None:
+        if self._clicks is not None and len(self._clicks):
+            keep = self._clicks.e.to_numpy() >= self.watermark - self.window
+            self._clicks = self._clicks[keep]
+
+    def flush(self) -> None:
+        self.watermark = np.iinfo(np.int64).max
+        self._finalize_ready()
+
+    def drain(self) -> dict:
+        self._drain_pending()
+        self.flush()
+        rows = (
+            pd.concat(self._emitted, ignore_index=True)
+            if self._emitted
+            else pd.DataFrame(
+                {
+                    "purchase_id": pd.Series(dtype=np.int64),
+                    "n_recent_clicks": pd.Series(dtype=np.int64),
+                }
+            )
+        )
+        return {
+            "rows": rows,
+            "stats": {
+                "late_dropped": self.late_dropped,
+                "n_processed": self.n_processed,
+                "clicks_buffered": 0 if self._clicks is None else int(len(self._clicks)),
+            },
+        }
+
+
+def stream_interval_join(
+    sf_dir: str,
+    window_us: int = 1_800_000_000,
+    allowed_lateness_us: int = 86_400_000_000,
+    batch_size: int = 8192,
+    n_shards: int = 4,
+) -> tuple[pd.DataFrame, dict]:
+    """Sharded streaming interval join over the events table, routed from
+    map_batches tasks like the other streaming operators."""
+    import ray.data as rd
+
+    from .ops import parquet_col_min
+    from .relational import _t
+
+    events_path = _t(sf_dir, "events")
+    ds = rd.read_parquet(
+        events_path, columns=["event_id", "user_id", "event_type", "ts"]
+    )
+    start = parquet_col_min(events_path, "event_id")
+    shards = [
+        StreamingIntervalJoiner.remote(window_us, allowed_lateness_us, start_seq=start)
+        for _ in range(n_shards)
+    ]
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df.user_id,
+                "event_id": df.event_id,
+                "event_type": df.event_type,
+                "e": df.ts.values.astype("datetime64[us]").astype(np.int64),
+            }
+        )
+
+    def shard_of(df: pd.DataFrame) -> np.ndarray:
+        h = pd.util.hash_pandas_object(df.user_id, index=False).to_numpy()
+        return (h % np.uint64(n_shards)).astype(np.int64)
+
+    route_stream(ds, shards, shard_of, prep=prep, seq_col="event_id", batch_size=batch_size)
+    drains = ray.get([s.drain.remote() for s in shards])
+    for s in shards:
+        ray.kill(s)
+    parts = [d["rows"] for d in drains if len(d["rows"])]
+    df = (
+        pd.concat(parts, ignore_index=True)
+        if parts
+        else pd.DataFrame(
+            {"purchase_id": pd.Series(dtype=np.int64), "n_recent_clicks": pd.Series(dtype=np.int64)}
+        )
+    )
+    stats = {
+        "late_dropped": int(sum(d["stats"]["late_dropped"] for d in drains)),
+        "n_processed": int(sum(d["stats"]["n_processed"] for d in drains)),
+        "n_shards": n_shards,
+    }
+    df = df.sort_values("purchase_id").reset_index(drop=True)
+    df["purchase_id"] = df.purchase_id.astype(np.int64)
+    df["n_recent_clicks"] = df.n_recent_clicks.astype(np.int64)
+    return df, stats
+
+
+@query(
+    "q_stream_interval_join",
+    """
+    WITH d AS (SELECT user_id, event_id, event_type,
+                      CAST(epoch_us(ts) AS BIGINT) AS e FROM events),
+         p AS (SELECT user_id, event_id, e FROM d WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, e FROM d WHERE event_type = 'click')
+    SELECT p.event_id AS purchase_id,
+           CAST(COUNT(c.e) AS BIGINT) AS n_recent_clicks
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id AND c.e >= p.e - 1800000000 AND c.e <= p.e
+    GROUP BY p.event_id ORDER BY purchase_id
+    """,
+)
+def q_stream_interval_join(sf_dir: str) -> pd.DataFrame:
+    """STREAM-STREAM windowed join (sharded stateful pool, watermark-
+    finalized purchases, horizon-pruned click buffers, exactly-once
+    emission) must equal the batch interval join when allowed_lateness
+    covers the stream's disorder — the DuckDB twin is q_interval_join's
+    batch SQL."""
+    df, _ = stream_interval_join(sf_dir)
+    return df
+
+
 def synth_events(
     out_dir: str, n: int = 10_000_000, n_types: int = 8, n_users: int = 500_000, seed: int = 5
 ) -> str:

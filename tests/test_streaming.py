@@ -272,3 +272,56 @@ class TestRouteStreamInputShapes:
         )
         with pytest.raises(Exception, match="DENSE arrival-seq|dense"):
             stream_window(str(tmp_path / "gap.parquet"), n_shards=2, batch_size=16)
+
+
+class TestStreamIntervalJoin:
+    def test_equals_batch_interval_join(self, ray_session):
+        from citygml2objv2_ray import relational_ext  # noqa: F401 - registers q_interval_join
+        from citygml2objv2_ray.relational import REGISTRY
+        from citygml2objv2_ray.streaming import stream_interval_join
+
+        got, stats = stream_interval_join(SF, n_shards=3)
+        want = REGISTRY["q_interval_join"](SF)
+        assert stats["late_dropped"] == 0
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+        )
+
+    def test_purchase_finalizes_once_and_clicks_prune(self, ray_session):
+        """A purchase emits exactly once when the watermark passes it; a
+        later click inside its window must NOT mutate the count (it drops
+        as late); click buffers prune to the window+lateness horizon."""
+        import ray
+
+        from citygml2objv2_ray.streaming import StreamingIntervalJoiner
+
+        W = 100
+        j = StreamingIntervalJoiner.remote(W, allowed_lateness_us=0, start_seq=0)
+        b1 = pd.DataFrame(
+            {
+                "user_id": [1, 1, 1],
+                "event_id": [0, 1, 2],
+                "event_type": ["click", "click", "purchase"],
+                "e": [10, 40, 50],
+            }
+        )
+        ray.get(j.ingest_range.remote(0, 2, b1))  # wm=50: purchase not final
+        # advance watermark far: purchase@50 finalizes with 2 clicks;
+        # clicks below wm-W prune away
+        b2 = pd.DataFrame(
+            {"user_id": [1], "event_id": [3], "event_type": ["click"], "e": [500]}
+        )
+        ray.get(j.ingest_range.remote(3, 3, b2))
+        # a late click inside the finalized purchase's window → dropped
+        late = pd.DataFrame(
+            {"user_id": [1], "event_id": [4], "event_type": ["click"], "e": [45]}
+        )
+        ray.get(j.ingest_range.remote(4, 4, late))
+        out = ray.get(j.drain.remote())
+        rows = out["rows"].sort_values("purchase_id").reset_index(drop=True)
+        assert rows.purchase_id.tolist() == [2]
+        assert rows.n_recent_clicks.tolist() == [2]  # late click NOT counted
+        assert out["stats"]["late_dropped"] == 1
+        # click@500 remains buffered at drain time only until flush;
+        # clicks@10,40 were pruned when wm hit 500 (500-100 > 40)
+        ray.kill(j)
