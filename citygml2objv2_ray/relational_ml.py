@@ -366,8 +366,9 @@ def verify_pairs_jaccard_ds(
     )
     # COALESCE before each sort: the union inherits the upstream block
     # fragmentation (hundreds of ~200-row blocks) and Ray's sort pays a
-    # per-(input-block x output-partition) slice cost — the CLAUDE.md
-    # measured trap. A shuffle-FREE repartition (block merge, no data
+    # per-(input-block x output-partition) slice cost — the measured trap
+    # in the BASELINE.md optimization log. A shuffle-FREE repartition
+    # (block merge, no data
     # movement beyond concatenation) cuts the slice count ~10x; sized to
     # the shuffle fan-out so each sort task still gets parallel input.
     halves = halves.repartition(min(ng, 32), shuffle=False)
