@@ -122,20 +122,32 @@ def run_flagship(
             completed = set(commits.partition_id.tolist())
             # MID-RUN-crash resume (no commit markers yet): when the hive
             # input layout gives exact per-partition expected counts, a
-            # partition whose logged written rows EQUAL the expectation is
-            # complete — the commit pass is end-of-run bookkeeping, not the
-            # source of truth. Strict equality: a short count is a partial
-            # write, an over-count means a retried task double-wrote; both
-            # must be wiped and redone.
+            # partition whose ON-DISK rows EQUAL the expectation is
+            # complete — the commit pass is end-of-run bookkeeping, not
+            # the source of truth. The count MUST come from the data
+            # files' parquet footers, not the lineage log: lineage rows
+            # accumulate across crashed attempts (clear_partition wipes
+            # files, not history), so after a double crash the summed log
+            # can equal the expectation while the disk is partial. Strict
+            # equality: short = partial write, over = a retried task
+            # double-wrote; both wipe and redo.
             expected = _hive_expected_rows(images_path)
             if expected:
-                writes = lin[lin.stage == STAGE]
-                got = writes.groupby("partition_id").rows_out.sum()
-                completed |= {
-                    p for p, n in expected.items() if int(got.get(p, 0)) == n
-                }
-            # wipe partial files of uncommitted partitions (idempotent rerun)
+                from ..ops import parquet_num_rows
+
+                for pid, n in expected.items():
+                    if pid in completed:
+                        continue
+                    d = os.path.join(log.data_dir, f"part={pid}")
+                    if os.path.isdir(d) and parquet_num_rows(d) == n:
+                        completed.add(pid)
+            # wipe partial files of every started-but-incomplete partition
+            # (idempotent rerun); on-disk dirs count as started even when
+            # their write task died before appending lineage
             started = set(lin[lin.stage == STAGE].partition_id.tolist())
+            for sub in os.listdir(log.data_dir):
+                if sub.startswith("part="):
+                    started.add(sub.split("=", 1)[1])
             for pid in started - completed:
                 log.clear_partition(pid)
 

@@ -57,17 +57,19 @@ def _metrics(out: str) -> list[dict]:
 
 def _complete_parts(out: str, expected: dict[str, int]) -> set[str]:
     """Partitions complete by the count-based crash-resume criterion
-    (logged written rows == hive-layout expected rows) — the same rule
-    run_flagship's resume uses when no commit marker exists."""
+    (ON-DISK parquet rows == hive-layout expected rows) — the same rule
+    run_flagship's resume uses when no commit marker exists. Disk, not
+    lineage: the log accumulates across crashed attempts."""
     sys.path.insert(0, REPO)
-    from citygml2objv2_ray.state.checkpoint import CheckpointLog
+    from citygml2objv2_ray.ops import parquet_num_rows
 
-    lin = CheckpointLog(out).read_lineage().to_pandas()
-    if lin.empty:
-        return set()
-    w = lin[lin.stage == "assign"]
-    got = w.groupby("partition_id").rows_out.sum()
-    return {p for p, n in expected.items() if int(got.get(p, 0)) == n}
+    done = set()
+    data = os.path.join(out, "data")
+    for p, n in expected.items():
+        d = os.path.join(data, f"part={p}")
+        if os.path.isdir(d) and parquet_num_rows(d) == n:
+            done.add(p)
+    return done
 
 
 def _output_ids(out: str):
@@ -104,35 +106,42 @@ class TestCrashResumeSf04:
         expected = _hive_expected_rows(images_path)
         assert expected and sum(expected.values()) == rows_clean
 
-        # crashed run: SIGKILL the whole process group (driver + its local
-        # Ray) once >=2 partitions are count-complete but the run is still
-        # mid-stream — the end-of-run commit pass never executes, so resume
-        # must rely on the count-based completion criterion alone
-        p = subprocess.Popen(
-            _job_cmd(crash_out),
-            env=_env(),
-            cwd=REPO,
-            stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL,
-            start_new_session=True,
-        )
-        deadline = time.time() + 600
-        complete_at_kill: set[str] = set()
-        try:
-            while time.time() < deadline:
-                complete_at_kill = _complete_parts(crash_out, expected)
-                if len(complete_at_kill) >= 2:
-                    break
-                if p.poll() is not None:
-                    pytest.fail("job finished before the kill window")
-                time.sleep(0.1)
-        finally:
-            if p.poll() is None:
-                os.killpg(os.getpgid(p.pid), signal.SIGKILL)
-                p.wait(timeout=60)
-        assert len(complete_at_kill) >= 2, "no kill window before the deadline"
+        # crashed run(s): SIGKILL the whole process group (driver + its
+        # local Ray) once >=2 partitions are count-complete but the run is
+        # still mid-stream — the end-of-run commit pass never executes, so
+        # resume must rely on the count-based completion criterion alone.
+        # TWO consecutive mid-run crashes: the second kill exercises the
+        # double-crash case where accumulated lineage counts would lie but
+        # on-disk footer counts cannot.
+        for attempt in range(2):
+            p = subprocess.Popen(
+                _job_cmd(crash_out),
+                env=_env(),
+                cwd=REPO,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+                start_new_session=True,
+            )
+            deadline = time.time() + 600
+            complete_at_kill: set[str] = set()
+            finished = False
+            try:
+                while time.time() < deadline:
+                    complete_at_kill = _complete_parts(crash_out, expected)
+                    if len(complete_at_kill) >= 2 + attempt:
+                        break
+                    if p.poll() is not None:
+                        finished = True
+                        break
+                    time.sleep(0.1)
+            finally:
+                if p.poll() is None:
+                    os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+                    p.wait(timeout=60)
+            assert not finished, "job finished before the kill window"
+            assert len(complete_at_kill) >= 2, "no kill window before the deadline"
         remaining_after_kill = set(expected) - _complete_parts(crash_out, expected)
-        assert remaining_after_kill, "kill landed after completion"
+        assert remaining_after_kill, "kills landed after completion"
 
         # resumed run: same --out, default resume semantics
         r2 = subprocess.run(
