@@ -325,3 +325,30 @@ class TestStreamIntervalJoin:
         # click@500 remains buffered at drain time only until flush;
         # clicks@10,40 were pruned when wm hit 500 (500-100 > 40)
         ray.kill(j)
+
+
+class TestShardCountInvariance:
+    def test_results_identical_across_shard_counts(self, ray_session):
+        """Sharding is an execution detail: 1, 2, and 5 shards must produce
+        byte-identical results for every streaming operator (keys never
+        split across shards; per-shard watermarks only ever DELAY
+        finalization, never change it when nothing drops)."""
+        from citygml2objv2_ray.streaming import (
+            stream_dedup_first,
+            stream_interval_join,
+            stream_sessionize,
+            stream_window_hourly,
+        )
+
+        for fn in (stream_window_hourly, stream_dedup_first, stream_sessionize,
+                   stream_interval_join):
+            ref = None
+            for ns in (1, 2, 5):
+                df, stats = fn(SF, n_shards=ns)
+                assert stats.get("late_dropped", 0) == 0, fn.__name__
+                if ref is None:
+                    ref = df
+                else:
+                    pd.testing.assert_frame_equal(
+                        df.reset_index(drop=True), ref.reset_index(drop=True)
+                    )
