@@ -64,7 +64,12 @@ class _ReorderBuffer:
         source batch covering arrival seq [lo, hi]; ``None`` if the shard
         owns none of them). Applies every consecutive pending slice."""
         lo, hi = int(lo), int(hi)
-        if self._next is None:  # first stamp seen defines the stream start
+        if self._next is None:
+            # fallback for direct/test use only: assumes the FIRST stamp
+            # delivered is the stream start. The routed pipelines always
+            # pass start_seq (parquet_col_min) — with parallel routers an
+            # out-of-order first delivery would otherwise strand earlier
+            # ranges in the buffer until drain.
             self._next = lo
         self._pending[lo] = (hi, df)
         while self._next in self._pending:
