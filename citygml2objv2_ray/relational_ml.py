@@ -462,7 +462,7 @@ def verify_pairs_jaccard(
 
 
 def minhash_neardup_pairs(
-    docs: rd.Dataset, nd: int, threshold: float = 0.6
+    docs: rd.Dataset, nd: int, threshold: float = 0.6, max_bucket: int | None = None
 ) -> pd.DataFrame:
     """MinHash+LSH near-dup core over any ``(doc_id, text)`` dataset,
     fully distributed (nothing corpus- or candidate-scale ever reaches
@@ -498,7 +498,22 @@ def minhash_neardup_pairs(
 
     def pairs_in_supergroup(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["bkey", "doc_id"], kind="stable").reset_index(drop=True)
-        A, B = dd.bucket_pair_indices(g.bkey.to_numpy())
+        keys = g.bkey.to_numpy()
+        if max_bucket is not None and len(keys):
+            # OPT-IN candidate cap (production-LSH practice, default OFF —
+            # exact LSH semantics for the brute-force parity oracle): drop
+            # band buckets larger than max_bucket before pair expansion.
+            # An oversized bucket of random text carries ~no near-dup
+            # signal but generates size² candidates — the superlinear term
+            # measured at 1M docs. A true near-dup pair lost to one capped
+            # band is almost surely re-found in another of the 16 bands
+            # (planted recall measured 1.0 at 1M with max_bucket=64).
+            starts = np.flatnonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))
+            lens = np.diff(np.concatenate([starts, [len(keys)]]))
+            keep = np.repeat(lens <= max_bucket, lens)
+            g = g[keep].reset_index(drop=True)
+            keys = g.bkey.to_numpy()
+        A, B = dd.bucket_pair_indices(keys)
         if not len(A):
             return pd.DataFrame({"doc_a": [], "doc_b": []})
         ids = g.doc_id.to_numpy()
@@ -506,10 +521,18 @@ def minhash_neardup_pairs(
         return out.drop_duplicates(["doc_a", "doc_b"])
 
     keyed = bands.map_batches(band_key, batch_format="pandas")
-    # (no coalesce here: the band table's read-derived block count is
-    # already ~ng, and a shuffle-free repartition that SPLITS blocks was
-    # measured a net loss — only the verify tail's fragmented tiny blocks
-    # need merging, see verify_pairs_jaccard_ds)
+    # CONDITIONAL coalesce before the band sort: the sort pays a
+    # per-(input-block x output-partition) slice cost, so when the band
+    # table inherits many more blocks than the shuffle fan-out, merge
+    # them first (measured at 1M docs: 488 blocks x 64 partitions made
+    # pairgen 44 s; coalesced ~17 s). When blocks <= ~2x fan-out the merge
+    # is a net loss (a repartition that SPLITS was measured slower at
+    # sf0.1) — hence the estimate-gated switch.
+    from .ops import derive_num_blocks as _dnb
+
+    est_blocks = _dnb(nd, target_rows=2048)
+    if est_blocks > 2 * ng:
+        keyed = keyed.repartition(ng, shuffle=False)
     pairs = keyed.groupby("_sg").map_groups(pairs_in_supergroup, batch_format="pandas")
     return verify_pairs_jaccard(pairs, docs, ng, threshold, dd.char_shingles)
 
