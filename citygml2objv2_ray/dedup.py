@@ -75,6 +75,57 @@ def char_shingles(text: str, k: int = 5) -> np.ndarray:
     return np.unique(h)
 
 
+def char_shingles_batch(texts, k: int = 5) -> list[np.ndarray]:
+    """Batch form of ``char_shingles`` — byte-identical per-doc results,
+    one vectorized pass for the whole batch: all normalized docs
+    concatenate into ONE byte buffer, the k FNV passes run once over it,
+    valid windows (those fully inside a doc) are gathered by index, and
+    per-doc unique is a single (doc, hash) lexsort + adjacent-unique.
+    Python per doc is just normalize+encode — the per-doc numpy dispatch
+    (~40% of the 1M-doc MinHash stage) is gone."""
+    bufs = []
+    for t in texts:
+        norm = " ".join((t or "").lower().split())
+        b = norm.encode()
+        if len(b) < k:
+            b = b.ljust(k)
+        bufs.append(b)
+    D = len(bufs)
+    if not D:
+        return []
+    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    a = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    n = len(a) - k + 1
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    for j in range(k):
+        h = (h ^ a[j : j + n].astype(np.uint64)) * _FNV_PRIME
+    # valid windows = all except the k-1 positions straddling each doc
+    # boundary (window starts are position-ordered, so the masked stream
+    # is still doc-ordered and aligns with the repeat-built tags)
+    counts = lens - k + 1
+    if D > 1:
+        bad = (offs[1:][:, None] + np.arange(-(k - 1), 0)[None, :]).ravel()
+        mask = np.ones(n, dtype=bool)
+        mask[bad] = False
+        vals = h[mask]
+    else:
+        vals = h
+    tags = np.repeat(np.arange(D, dtype=np.int64), counts)
+    order = np.lexsort((vals, tags))
+    tags, vals = tags[order], vals[order]
+    keep = np.concatenate(
+        [[True], (tags[1:] != tags[:-1]) | (vals[1:] != vals[:-1])]
+    )
+    tags, vals = tags[keep], vals[keep]
+    out: list[np.ndarray] = [np.empty(0, np.uint64)] * D
+    starts = np.flatnonzero(np.concatenate([[True], tags[1:] != tags[:-1]]))
+    ends = np.concatenate([starts[1:], [len(tags)]])
+    for s, e in zip(starts, ends):
+        out[tags[s]] = vals[s:e]
+    return out
+
+
 def jaccard_u64(a: np.ndarray, b: np.ndarray) -> float:
     """Jaccard of two sorted-unique uint64 arrays (vectorized set ops)."""
     if not len(a) and not len(b):
@@ -280,7 +331,7 @@ class MinHashStage:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         texts = batch["text"].fillna("")
-        shingles = [char_shingles(t, self.k) for t in texts]
+        shingles = char_shingles_batch(list(texts), self.k)
         sigs = self.mh.signatures_batch(shingles)
         keys = lsh_band_keys(sigs, self.bands)  # (D, bands)
         D = len(batch)
