@@ -702,6 +702,12 @@ def ngram_jaccard_pairs_ds(
         return g.loc[g.nsh >= min_shared, ["doc_a", "doc_b"]]
 
     postings = docs.map_batches(explode, batch_format="pandas", batch_size=512)
+    # same estimate-gated coalesce as the minhash band table: the posting
+    # sort pays per-(block x partition) slice cost when the read fragments
+    # the corpus into many more blocks than the shuffle fan-out
+    est_blocks = derive_num_blocks(nd, target_rows=2048)
+    if est_blocks > 2 * ng:
+        postings = postings.repartition(ng, shuffle=False)
     cand_counts = postings.groupby("_sg").map_groups(
         pairs_in_supergroup, batch_format="pandas"
     )
