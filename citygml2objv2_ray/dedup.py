@@ -176,6 +176,34 @@ def word_ngram_ids(text: str, n: int = 3) -> np.ndarray:
     return np.unique(_stable_token_ids(word_ngram_list(text, n)))
 
 
+def word_ngram_ids_batch(texts, n: int = 3) -> list[np.ndarray]:
+    """Batch form of ``word_ngram_ids`` — byte-identical per-doc results.
+    Gram strings are still built per doc (``word_ngram_list`` already
+    dedups in insertion order), but hashing is amortized batch-wide:
+    factorize every gram across the batch and FNV-hash each DISTINCT
+    gram once (one ``_stable_token_ids`` padded-matrix pass instead of
+    one per doc — the same pattern the n-gram explode stage uses)."""
+    grams_all: list[str] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        gs = word_ngram_list(t or "", n)
+        grams_all.extend(gs)
+        counts[i] = len(gs)
+    if not grams_all:
+        return [np.empty(0, np.uint64)] * len(texts)
+    import pandas as pd
+
+    codes, uniq = pd.factorize(np.array(grams_all, dtype=object))
+    ids = _stable_token_ids(uniq)[codes]
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    # per-doc grams are already distinct strings; distinct strings hash to
+    # distinct-or-colliding ids exactly as in the per-doc path, and
+    # np.unique matches its sort+dedup
+    return [
+        np.unique(ids[offs[i] : offs[i + 1]]) for i in range(len(texts))
+    ]
+
+
 class MinHasher:
     """Vectorized MinHash over the universal multiply-add family
     h_i(x) = (a_i * x + b_i) mod 2^64 with odd a_i — pure uint64 wrapping

@@ -117,9 +117,21 @@ def run_flagship(
     completed: set[str] = set()
     if resume:
         lin = log.read_lineage().to_pandas()
+        # on-disk part= dirs count as started even when the write task died
+        # before appending its FIRST lineage row — the sweep below must run
+        # whether or not any lineage exists, else the rerun appends to the
+        # partial dir and duplicates rows
+        on_disk = {
+            sub.split("=", 1)[1]
+            for sub in os.listdir(log.data_dir)
+            if sub.startswith("part=")
+        }
+        started: set[str] = set(on_disk)
         if not lin.empty:
             commits = lin[lin.stage == f"{STAGE}:commit"]
             completed = set(commits.partition_id.tolist())
+            started |= set(lin[lin.stage == STAGE].partition_id.tolist())
+        if started - completed:
             # MID-RUN-crash resume (no commit markers yet): when the hive
             # input layout gives exact per-partition expected counts, a
             # partition whose ON-DISK rows EQUAL the expectation is
@@ -136,18 +148,13 @@ def run_flagship(
                 from ..ops import parquet_num_rows
 
                 for pid, n in expected.items():
-                    if pid in completed:
+                    if pid in completed or pid not in started:
                         continue
                     d = os.path.join(log.data_dir, f"part={pid}")
                     if os.path.isdir(d) and parquet_num_rows(d) == n:
                         completed.add(pid)
             # wipe partial files of every started-but-incomplete partition
-            # (idempotent rerun); on-disk dirs count as started even when
-            # their write task died before appending lineage
-            started = set(lin[lin.stage == STAGE].partition_id.tolist())
-            for sub in os.listdir(log.data_dir):
-                if sub.startswith("part="):
-                    started.add(sub.split("=", 1)[1])
+            # (idempotent rerun)
             for pid in started - completed:
                 log.clear_partition(pid)
 

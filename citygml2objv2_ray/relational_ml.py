@@ -6,6 +6,8 @@ same REGISTRY/ORACLE as ``relational``.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -218,6 +220,45 @@ _PAIRS_EMPTY = pd.DataFrame(
     }
 )
 
+_HALVES_EMPTY = pd.DataFrame(
+    {
+        "key": pd.array([], dtype=np.int64),
+        "doc_a": pd.array([], dtype=np.int64),
+        "doc_b": pd.array([], dtype=np.int64),
+        "side": pd.array([], dtype=np.int8),
+        "kind": pd.array([], dtype=np.int8),
+        "text": pd.array([], dtype=object),
+        "_sg": pd.array([], dtype=np.int64),
+    }
+)
+
+
+_KIND_DOC, _KIND_PAIR = np.int8(0), np.int8(1)
+
+
+def make_pair_halves(doc_a: np.ndarray, doc_b: np.ndarray, ng: int) -> pd.DataFrame:
+    """Explode candidate pairs into the doc-keyed half rows the verify
+    tail's first shuffle consumes (side 0 keyed by doc_a, side 1 by
+    doc_b). Exposed so pair GENERATORS (LSH band pairgen, the n-gram
+    shared-count filter) can emit halves directly from their own
+    map_groups — fusing away the dedicated ``pair_halves`` map pass the
+    tail otherwise runs over the whole candidate set."""
+    a = np.asarray(doc_a, dtype=np.int64)
+    b = np.asarray(doc_b, dtype=np.int64)
+    key = np.concatenate([a, b])
+    n = len(a)
+    return pd.DataFrame(
+        {
+            "key": key,
+            "doc_a": np.concatenate([a, a]),
+            "doc_b": np.concatenate([b, b]),
+            "side": np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)]),
+            "kind": np.full(2 * n, _KIND_PAIR, np.int8),
+            "text": np.full(2 * n, "", dtype=object),
+            "_sg": dd.supergroup_of(key, ng),
+        }
+    )
+
 
 def verify_pairs_jaccard_ds(
     pairs: rd.Dataset,
@@ -227,6 +268,9 @@ def verify_pairs_jaccard_ds(
     shingle_fn,
     pre_dedup: bool = False,
     bloom: bool = False,
+    shingle_batch_fn=None,
+    pairs_are_halves: bool = False,
+    est_blocks: int | None = None,
 ) -> rd.Dataset:
     """Distributed exact-Jaccard verification of candidate pairs — the
     shared tail of every text near-dup query (MinHash LSH, exact n-gram
@@ -246,8 +290,17 @@ def verify_pairs_jaccard_ds(
 
     ``shingle_fn`` maps text -> sorted-unique uint64 ids and defines the
     Jaccard family (char shingles for MinHash, word n-grams for the
-    exact index). The kept-pair filter compares the ROUNDED (6 dp)
-    Jaccard against ``threshold`` so SQL twins can mirror it exactly.
+    exact index); ``shingle_batch_fn`` is its batch twin (list of texts ->
+    list of id arrays, byte-identical per doc) — when given, the in-group
+    shingle pass runs one vectorized batch call instead of a per-unique-doc
+    Python loop. ``pairs_are_halves=True`` means the caller's pair
+    generator already emitted ``make_pair_halves`` rows, so the tail's own
+    half-explode map is skipped. ``est_blocks`` (estimated block count of
+    the halves union, docs side + pair side) gates the pre-sort coalesces:
+    merging blocks below the shuffle fan-out would SPLIT them — the
+    measured net loss in the BASELINE optimization log. The kept-pair
+    filter compares the ROUNDED (6 dp) Jaccard against ``threshold`` so
+    SQL twins can mirror it exactly.
 
     Optional knobs for corpora where the docs table dwarfs the candidate
     set (both measured BREAK-EVEN at 100k-300k docs — the barrier each
@@ -267,7 +320,7 @@ def verify_pairs_jaccard_ds(
 
     from .ops import bloom_build_distributed, bloom_prefilter
 
-    KIND_DOC, KIND_PAIR = np.int8(0), np.int8(1)
+    KIND_DOC, KIND_PAIR = _KIND_DOC, _KIND_PAIR
 
     # OPTIONAL global pair-dedup first: a pair found by several LSH bands
     # (or several shared index grams) arrives once per band; when the
@@ -276,6 +329,8 @@ def verify_pairs_jaccard_ds(
     # the candidate set is ~261k pairs and already ~97% distinct, so the
     # extra shuffle isn't worth it there — attach_text's free in-shuffle
     # dedup covers the residue; hence default False.)
+    if pairs_are_halves and (pre_dedup or bloom):
+        raise ValueError("pre_dedup/bloom need raw pair rows, not halves")
     if pre_dedup:
         pairs = dd.dedup_pairs(pairs, "doc_a", "doc_b", ng)
     if bloom:
@@ -297,23 +352,7 @@ def verify_pairs_jaccard_ds(
 
     def pair_halves(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates(["doc_a", "doc_b"])  # per-batch dedup partial
-        a = df.doc_a.to_numpy().astype(np.int64)
-        b = df.doc_b.to_numpy().astype(np.int64)
-        key = np.concatenate([a, b])
-        n = len(a)
-        return pd.DataFrame(
-            {
-                "key": key,
-                "doc_a": np.concatenate([a, a]),
-                "doc_b": np.concatenate([b, b]),
-                "side": np.concatenate(
-                    [np.zeros(n, np.int8), np.ones(n, np.int8)]
-                ),
-                "kind": np.full(2 * n, KIND_PAIR, np.int8),
-                "text": np.full(2 * n, "", dtype=object),
-                "_sg": dd.supergroup_of(key, ng),
-            }
-        )
+        return make_pair_halves(df.doc_a.to_numpy(), df.doc_b.to_numpy(), ng)
 
     def doc_rows(df: pd.DataFrame) -> pd.DataFrame:
         ids = df.doc_id.to_numpy().astype(np.int64)
@@ -361,19 +400,28 @@ def verify_pairs_jaccard_ds(
             }
         )
 
-    halves = pairs.map_batches(pair_halves, batch_format="pandas").union(
-        docs.map_batches(doc_rows, batch_format="pandas")
+    pair_side = (
+        pairs
+        if pairs_are_halves
+        else pairs.map_batches(pair_halves, batch_format="pandas")
     )
+    halves = pair_side.union(docs.map_batches(doc_rows, batch_format="pandas"))
     # COALESCE before each sort: the union inherits the upstream block
     # fragmentation (hundreds of ~200-row blocks) and Ray's sort pays a
     # per-(input-block x output-partition) slice cost — the measured trap
     # in the BASELINE.md optimization log. A shuffle-FREE repartition
-    # (block merge, no data
-    # movement beyond concatenation) cuts the slice count ~10x; sized to
-    # the shuffle fan-out so each sort task still gets parallel input.
-    halves = halves.repartition(min(ng, 32), shuffle=False)
+    # (block merge, no data movement beyond concatenation) cuts the slice
+    # count ~10x; sized to the shuffle fan-out so each sort task still
+    # gets parallel input. Estimate-GATED like the band-table/posting
+    # paths: when the union already has ~fan-out blocks the repartition
+    # would SPLIT them (measured net loss at sf0.1).
+    fanout = min(ng, 32)
+    coalesce = est_blocks is None or est_blocks > 2 * fanout
+    if coalesce:
+        halves = halves.repartition(fanout, shuffle=False)
     halves_txt = halves.groupby("_sg").map_groups(attach_text, batch_format="pandas")
-    halves_txt = halves_txt.repartition(min(ng, 32), shuffle=False)
+    if coalesce:
+        halves_txt = halves_txt.repartition(fanout, shuffle=False)
 
     def pair_group_key(df: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(df[["doc_a", "doc_b"]], index=False).to_numpy()
@@ -412,7 +460,12 @@ def verify_pairs_jaccard_ds(
         uniq, inv = np.unique(docs_cat, return_inverse=True)
         first = np.zeros(len(uniq), dtype=np.int64)
         first[inv[::-1]] = np.arange(len(docs_cat) - 1, -1, -1)
-        shingles = [shingle_fn(texts_cat[i]) for i in first]
+        if shingle_batch_fn is not None:
+            # one vectorized call for the whole group's unique docs (4.5x
+            # less shingle CPU than per-doc dispatch, byte-identical)
+            shingles = shingle_batch_fn([texts_cat[i] for i in first])
+        else:
+            shingles = [shingle_fn(texts_cat[i]) for i in first]
         sizes = np.array([len(s) for s in shingles], dtype=np.int64)
         la, lb = sizes[inv[: len(a)]], sizes[inv[len(a) :]]
         npairs = len(a)
@@ -450,10 +503,11 @@ def verify_pairs_jaccard(
     ng: int,
     threshold: float,
     shingle_fn,
+    **kw,
 ) -> pd.DataFrame:
     """Collecting wrapper over ``verify_pairs_jaccard_ds`` (kept-pair
     results are candidate-sparse, so the collect is small by design)."""
-    res = verify_pairs_jaccard_ds(pairs, docs, ng, threshold, shingle_fn).to_pandas()
+    res = verify_pairs_jaccard_ds(pairs, docs, ng, threshold, shingle_fn, **kw).to_pandas()
     if not len(res):
         return _PAIRS_EMPTY
     res["doc_a"] = res.doc_a.astype(np.int64)
@@ -515,10 +569,14 @@ def minhash_neardup_pairs(
             keys = g.bkey.to_numpy()
         A, B = dd.bucket_pair_indices(keys)
         if not len(A):
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
+            return _HALVES_EMPTY
         ids = g.doc_id.to_numpy()
-        out = pd.DataFrame({"doc_a": ids[A], "doc_b": ids[B]})
-        return out.drop_duplicates(["doc_a", "doc_b"])
+        out = pd.DataFrame({"doc_a": ids[A], "doc_b": ids[B]}).drop_duplicates(
+            ["doc_a", "doc_b"]
+        )
+        # emit verify-ready half rows straight from the pairgen group —
+        # fuses away the tail's dedicated half-explode map pass
+        return make_pair_halves(out.doc_a.to_numpy(), out.doc_b.to_numpy(), ng)
 
     keyed = bands.map_batches(band_key, batch_format="pandas")
     # CONDITIONAL coalesce before the band sort: the sort pays a
@@ -534,7 +592,16 @@ def minhash_neardup_pairs(
     if est_blocks > 2 * ng:
         keyed = keyed.repartition(ng, shuffle=False)
     pairs = keyed.groupby("_sg").map_groups(pairs_in_supergroup, batch_format="pandas")
-    return verify_pairs_jaccard(pairs, docs, ng, threshold, dd.char_shingles)
+    return verify_pairs_jaccard(
+        pairs,
+        docs,
+        ng,
+        threshold,
+        dd.char_shingles,
+        shingle_batch_fn=dd.char_shingles_batch,
+        pairs_are_halves=True,
+        est_blocks=est_blocks + min(ng, 32),
+    )
 
 
 # rows-only: minhash near-dup pairs (brute-force Jaccard parity oracle in
@@ -697,9 +764,14 @@ def ngram_jaccard_pairs_ds(
         # int-only shuffle is what keeps the query sub-quadratic in
         # PRACTICE too: 1-shared-gram coincidences dominate the raw
         # candidate set (1.13M of 1.13M+few-k at sf0.1) and die here
-        # without ever touching document text.
+        # without ever touching document text. Survivors come out as
+        # verify-ready half rows (make_pair_halves) — one fused pass,
+        # no dedicated half-explode map downstream.
         g = g.groupby(["doc_a", "doc_b"], as_index=False)["nsh"].sum()
-        return g.loc[g.nsh >= min_shared, ["doc_a", "doc_b"]]
+        g = g.loc[g.nsh >= min_shared]
+        if not len(g):
+            return _HALVES_EMPTY
+        return make_pair_halves(g.doc_a.to_numpy(), g.doc_b.to_numpy(), ng)
 
     postings = docs.map_batches(explode, batch_format="pandas", batch_size=512)
     # same estimate-gated coalesce as the minhash band table: the posting
@@ -714,7 +786,53 @@ def ngram_jaccard_pairs_ds(
     pairs = cand_counts.groupby("_sg").map_groups(
         shared_count_filter, batch_format="pandas"
     )
-    return verify_pairs_jaccard_ds(pairs, docs, ng, threshold, dd.word_ngram_ids), nd
+    return (
+        verify_pairs_jaccard_ds(
+            pairs,
+            docs,
+            ng,
+            threshold,
+            dd.word_ngram_ids,
+            shingle_batch_fn=dd.word_ngram_ids_batch,
+            pairs_are_halves=True,
+            est_blocks=est_blocks + min(ng, 32),
+        ),
+        nd,
+    )
+
+
+_NGRAM_PAIRS_CACHE: dict[tuple, tuple[pd.DataFrame, int]] = {}
+
+
+def ngram_jaccard_pairs_cached(
+    sf_dir: str, threshold: float = 0.5, df_cap: int = 50
+) -> tuple[pd.DataFrame, int]:
+    """Collected n-gram near-dup pair graph, computed ONCE per
+    (sf_dir, params) per process — q_ngram_jaccard, q_dup_components and
+    q_dedup_corpus all consume the same graph, so the three queries share
+    one distributed computation instead of re-running the full
+    explode/index/verify pipeline each. Caching the COLLECTED pairs is
+    scale-safe because kept near-dup pairs are output-sparse (bounded by
+    the true dup count, not the corpus); the key includes the documents
+    file mtime so a changed table invalidates."""
+    path = _t(sf_dir, "documents")
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = 0.0
+    key = (os.path.abspath(sf_dir), float(threshold), int(df_cap), mtime)
+    hit = _NGRAM_PAIRS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    ds, nd = ngram_jaccard_pairs_ds(sf_dir, threshold, df_cap)
+    res = ds.to_pandas()
+    if not len(res):
+        res = _PAIRS_EMPTY.copy()
+    res["doc_a"] = res.doc_a.astype(np.int64)
+    res["doc_b"] = res.doc_b.astype(np.int64)
+    res = res.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    _NGRAM_PAIRS_CACHE[key] = (res, nd)
+    return res, nd
 
 
 @query(
@@ -726,12 +844,7 @@ def ngram_jaccard_pairs_ds(
 )
 def q_ngram_jaccard(sf_dir: str, threshold: float = 0.5, df_cap: int = 50) -> pd.DataFrame:
     """Collected ``ngram_jaccard_pairs_ds`` (kept pairs are sparse)."""
-    res = ngram_jaccard_pairs_ds(sf_dir, threshold, df_cap)[0].to_pandas()
-    if not len(res):
-        return _PAIRS_EMPTY
-    res["doc_a"] = res.doc_a.astype(np.int64)
-    res["doc_b"] = res.doc_b.astype(np.int64)
-    return res.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return ngram_jaccard_pairs_cached(sf_dir, threshold, df_cap)[0].copy()
 
 
 @query(
@@ -765,10 +878,14 @@ def q_dup_components(sf_dir: str, threshold: float = 0.5, df_cap: int = 50) -> p
     Each doc in the pair graph gets its component's canonical id (the
     component-minimum doc_id) and the component size — the "keep one per
     cluster" primitive of a dedup pipeline. SQL-checked against a DuckDB
-    recursive-CTE reachability walk over the identical pair CTEs."""
+    recursive-CTE reachability walk over the identical pair CTEs. Reads
+    the per-process cached pair graph (``ngram_jaccard_pairs_cached``) —
+    the sparse collected pairs re-enter Ray as a dataset for the
+    distributed CC rounds."""
     from . import graph
 
-    pairs_ds, nd = ngram_jaccard_pairs_ds(sf_dir, threshold, df_cap)
+    pairs_df, nd = ngram_jaccard_pairs_cached(sf_dir, threshold, df_cap)
+    pairs_ds = rd.from_pandas(pairs_df[["doc_a", "doc_b"]])
     out = graph.connected_components(pairs_ds, nd).to_pandas()
     if not len(out):
         return pd.DataFrame(
@@ -1275,13 +1392,16 @@ def q_dedup_corpus(sf_dir: str, threshold: float = 0.5, df_cap: int = 50) -> pd.
     for packing). The drop set is output-scale (bounded by the dup count),
     so it broadcasts via ``ray.put`` and the corpus-side anti-join is a
     map-side filter (``ops.broadcast_semi_anti_filter`` — the D4 pattern);
-    the corpus itself never shuffles."""
+    the corpus itself never shuffles. The pair graph comes from the
+    per-process cache (``ngram_jaccard_pairs_cached``) — computed once
+    and shared with q_ngram_jaccard / q_dup_components."""
     import ray
 
     from . import graph
     from .ops import broadcast_semi_anti_filter
 
-    pairs_ds, nd = ngram_jaccard_pairs_ds(sf_dir, threshold, df_cap)
+    pairs_df, nd = ngram_jaccard_pairs_cached(sf_dir, threshold, df_cap)
+    pairs_ds = rd.from_pandas(pairs_df[["doc_a", "doc_b"]])
     cc = graph.connected_components(pairs_ds, nd).to_pandas()
     drop = (
         set(cc[cc.doc_id != cc.component_id].doc_id.tolist()) if len(cc) else set()

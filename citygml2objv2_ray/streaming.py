@@ -245,6 +245,23 @@ class StreamingDeduper(_ReorderBuffer):
         return {"n_seen": len(self.seen), "n_dropped": self.n_dropped}
 
 
+def routed_start_seq(path: str, col: str = "event_id") -> int:
+    """First arrival-seq value for a ROUTED pipeline. Raises instead of
+    returning None: the _ReorderBuffer first-stamp fallback is safe only
+    for direct single-caller/test use — under parallel routers an
+    out-of-order first delivery would strand early ranges until drain and
+    then apply them past the watermark (silent late-drop corruption)."""
+    from .ops import parquet_col_min
+
+    start = parquet_col_min(path, col)
+    if start is None:
+        raise ValueError(
+            f"routed streaming needs the stream's first {col!r}; both the "
+            f"parquet-footer stats and the fallback scan failed for {path}"
+        )
+    return start
+
+
 def route_stream(
     ds,
     shards: list,
@@ -312,7 +329,7 @@ def stream_window(
     ds = rd.read_parquet(
         events_path, columns=["event_id", "event_type", "ts", "value"]
     )
-    start = parquet_col_min(events_path, "event_id")
+    start = routed_start_seq(events_path, "event_id")
     shards = [
         WindowedStreamAggregator.remote(width_us, allowed_lateness_us, start_seq=start)
         for _ in range(n_shards)
@@ -421,7 +438,7 @@ def stream_dedup_first(
 
     events_path = _t(sf_dir, "events")
     ds = rd.read_parquet(events_path, columns=["event_id", "user_id", "event_type"])
-    start = parquet_col_min(events_path, "event_id")
+    start = routed_start_seq(events_path, "event_id")
     spill_dir = tempfile.mkdtemp(prefix="stream_dedup_", dir="/tmp")
     shards = [
         StreamingDeduper.remote(
@@ -672,7 +689,7 @@ def stream_sessionize_path(
     from .ops import parquet_col_min
 
     ds = rd.read_parquet(events_path, columns=["event_id", "user_id", "ts"])
-    start = parquet_col_min(events_path, "event_id")
+    start = routed_start_seq(events_path, "event_id")
     spill_dir = None if collect else tempfile.mkdtemp(prefix="stream_sess_", dir="/tmp")
     shards = [
         StreamingSessionizer.remote(
@@ -912,7 +929,7 @@ def stream_interval_join(
     ds = rd.read_parquet(
         events_path, columns=["event_id", "user_id", "event_type", "ts"]
     )
-    start = parquet_col_min(events_path, "event_id")
+    start = routed_start_seq(events_path, "event_id")
     shards = [
         StreamingIntervalJoiner.remote(window_us, allowed_lateness_us, start_seq=start)
         for _ in range(n_shards)
