@@ -220,6 +220,13 @@ _PAIRS_EMPTY = pd.DataFrame(
     }
 )
 
+_PAIRGEN_EMPTY = pd.DataFrame(
+    {
+        "doc_a": pd.array([], dtype=np.int64),
+        "doc_b": pd.array([], dtype=np.int64),
+    }
+)
+
 _HALVES_EMPTY = pd.DataFrame(
     {
         "key": pd.array([], dtype=np.int64),
@@ -257,6 +264,220 @@ def make_pair_halves(doc_a: np.ndarray, doc_b: np.ndarray, ng: int) -> pd.DataFr
             "text": np.full(2 * n, "", dtype=object),
             "_sg": dd.supergroup_of(key, ng),
         }
+    )
+
+
+def _jaccard_pairs_kernel(
+    a: np.ndarray,
+    b: np.ndarray,
+    ta: np.ndarray,
+    tb: np.ndarray,
+    shingle_fn,
+    shingle_batch_fn,
+    threshold: float,
+) -> pd.DataFrame:
+    """Vectorized exact-Jaccard over aligned pair arrays (ids a/b, texts
+    ta/tb) — the shared compute core of both verify paths. Shingle each
+    UNIQUE doc once (one batch call when ``shingle_batch_fn`` is given),
+    then verify ALL pairs in one pass: concatenate both docs' sorted-unique
+    shingle arrays per pair tagged with the pair index, lexsort, and count
+    adjacent equal (tag, value) entries — that count IS |A ∩ B| because
+    each side is unique, so a value appearing twice within one pair's span
+    must come from both sides. Replaces a per-pair intersect1d loop that
+    dominated at 10^6 candidates (87 s → ~4 s).
+
+    When candidates heavily SHARE docs (LSH noise: sf0.1 has ~270k
+    candidates over 5k docs, ~109 pairs per doc), the pair-expanded sort
+    touches each doc's shingles once PER PAIR — 16 concurrent 7M-entry
+    lexsorts were measured memory-bandwidth-bound (~450 CPU-s for 27 s of
+    kernel math). The default here is therefore an INVERTED-INDEX count
+    over the UNIQUE docs only: one stable sort of the unique shingle
+    postings, run-length co-occurrence pair emission
+    (``dd.bucket_pair_indices``), and a searchsorted lookup of each
+    candidate's (lo, hi) code key — cost O(unique shingle mass +
+    co-occurrence mass), independent of candidate multiplicity. A
+    degenerate hot shingle (shared by ~all docs) makes co-occurrence mass
+    quadratic, so when the RLE estimate exceeds the pair-expanded mass the
+    kernel falls back to the expanded sort — all paths are exact and
+    byte-identical.
+
+    Small shingle UNIVERSES get a third, much faster representation:
+    when the batch's unique docs draw from <= ~32k distinct shingle
+    values (synthetic/templated corpora; high-df text), each doc becomes
+    a dense BITSET over the universe and a pair's intersection is one
+    AND + popcount row — O(W) words per pair, independent of both df and
+    candidate multiplicity (measured ~50x over the expanded sort on the
+    2k-distinct-shingle sf0.1 documents table). Pairs are popcounted in
+    ~2 MB slabs so concurrent kernels stay cache-resident."""
+    npairs = len(a)
+    docs_cat = np.concatenate([a, b])
+    texts_cat = np.concatenate([ta, tb])
+    uniq, inv = np.unique(docs_cat, return_inverse=True)
+    first = np.zeros(len(uniq), dtype=np.int64)
+    first[inv[::-1]] = np.arange(len(docs_cat) - 1, -1, -1)
+    if shingle_batch_fn is not None:
+        # one vectorized call for the whole group's unique docs (4.5x
+        # less shingle CPU than per-doc dispatch, byte-identical)
+        shingles = shingle_batch_fn([texts_cat[i] for i in first])
+    else:
+        shingles = [shingle_fn(texts_cat[i]) for i in first]
+    sizes = np.array([len(s) for s in shingles], dtype=np.int64)
+    la, lb = sizes[inv[:npairs]], sizes[inv[npairs:]]
+
+    U = len(uniq)
+    postings = (
+        np.concatenate(shingles) if len(shingles) else np.empty(0, np.uint64)
+    )
+    doc_codes = np.repeat(np.arange(U, dtype=np.int64), sizes)
+    # stable sort by shingle value keeps doc codes ASCENDING within each
+    # equal-value run (postings concatenate in code order, one entry per
+    # (doc, shingle)) — so bucket_pair_indices emits code_lo < code_hi
+    order = np.argsort(postings, kind="stable")
+    vs, dc = postings[order], doc_codes[order]
+    starts = np.flatnonzero(np.concatenate([[True], vs[1:] != vs[:-1]])) if len(vs) else np.empty(0, np.int64)
+    lens = np.diff(np.concatenate([starts, [len(vs)]])) if len(vs) else np.empty(0, np.int64)
+    D = len(starts)  # distinct shingle values across the batch's docs
+    W = (D + 63) // 64  # bitset words per doc
+    co_mass = int((lens * (lens - 1) // 2).sum())
+    expand_mass = int((la + lb).sum())
+    ca, cb = inv[:npairs], inv[npairs:]
+    if D and W <= 512 and U * W <= 4_000_000:
+        # ---- bitset path (small universe) ----
+        distinct_vals = vs[starts]
+        codes = np.searchsorted(distinct_vals, postings)  # per-doc ascending
+        word = doc_codes * W + (codes >> 6)  # globally ascending already
+        bits = np.uint64(1) << (codes & 63).astype(np.uint64)
+        wstarts = np.flatnonzero(np.concatenate([[True], word[1:] != word[:-1]]))
+        M = np.zeros(U * W, dtype=np.uint64)
+        M[word[wstarts]] = np.bitwise_or.reduceat(bits, wstarts)
+        M = M.reshape(U, W)
+        inter = np.empty(npairs, dtype=np.int64)
+        slab = max(1, 262_144 // max(W, 1))  # ~2 MB AND temp per slab
+        for s in range(0, npairs, slab):
+            e = min(npairs, s + slab)
+            both = (M[ca[s:e]] & M[cb[s:e]]).view(np.uint8)
+            inter[s:e] = _POP8[both].sum(axis=1, dtype=np.int64)
+    elif co_mass <= 2 * expand_mass:
+        A, B = dd.bucket_pair_indices(vs)
+        keys = np.sort(dc[A] * U + dc[B])
+        want = np.minimum(ca, cb) * U + np.maximum(ca, cb)
+        inter = np.searchsorted(keys, want, "right") - np.searchsorted(
+            keys, want, "left"
+        )
+    else:  # degenerate hot-shingle corpus: pair-expanded sort is cheaper
+        tags = np.repeat(np.tile(np.arange(npairs, dtype=np.int64), 2), sizes[inv])
+        vals = (
+            np.concatenate([shingles[i] for i in inv])
+            if len(inv)
+            else np.empty(0, np.uint64)
+        )
+        order = np.lexsort((vals, tags))
+        tags, vals = tags[order], vals[order]
+        eq = (tags[1:] == tags[:-1]) & (vals[1:] == vals[:-1])
+        inter = np.bincount(tags[1:][eq], minlength=npairs)
+    union = la + lb - inter
+    jac = np.round(
+        np.divide(inter, union, out=np.ones(npairs, float), where=union > 0), 6
+    )
+    out = pd.DataFrame(
+        {"doc_a": a.astype(np.int64), "doc_b": b.astype(np.int64), "jaccard": jac}
+    )
+    return out[out.jaccard >= threshold]
+
+
+# byte-wise popcount lookup for the kernel's bitset branch
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+_VERIFY_LUT_CACHE: dict = {}
+
+
+def verify_pairs_broadcast_ds(
+    pairs: rd.Dataset,
+    texts_ref,
+    threshold: float,
+    shingle_fn,
+    shingle_batch_fn=None,
+) -> rd.Dataset:
+    """MAP-SIDE exact-Jaccard verification for SMALL corpora: candidate
+    pair batches verify in place against a broadcast ``doc_id -> text``
+    lookup (``texts_ref`` = ``ray.put`` of a pd.Series), fetched ONCE per
+    worker process via a module-global cache. Zero additional shuffles —
+    the shuffle-free sibling of ``verify_pairs_jaccard_ds``, used when the
+    docs table fits ``EngineConfig.broadcast_join_rows`` (the same
+    broadcast-vs-partition switch as q_bloom_join; above the gate the
+    fully-distributed two-shuffle tail runs instead). Duplicate candidates
+    arriving in DIFFERENT batches are verified twice and must be deduped
+    by the caller if its generator can emit cross-batch duplicates (kept
+    pairs are output-sparse, so a collect-side dedup is free).
+
+    The broadcast payload is an ARROW table (doc_id sorted, large_string
+    text): ``ray.get`` maps it zero-copy from the object store — an
+    object-dtype pandas Series here cost a 100 MB string unpickle per
+    worker per query and, cached without eviction, grew worker heaps by
+    the full corpus per call (measured 13 → 66 s across three sf0.1
+    runs). Only the batch's OWN docs ever materialize as Python strings
+    (arrow ``take`` + to_numpy), and the per-worker cache keeps exactly
+    one payload (cleared on key change)."""
+    import ray
+
+    key = texts_ref.hex() if hasattr(texts_ref, "hex") else id(texts_ref)
+
+    def lookup(tab: pa.Table, ids_sorted: np.ndarray, want: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(ids_sorted, want)
+        pos_c = np.minimum(pos, len(ids_sorted) - 1)
+        hit = ids_sorted[pos_c] == want
+        texts = tab["text"].take(pa.array(pos_c, pa.int64())).to_numpy(
+            zero_copy_only=False
+        )
+        if not hit.all():
+            texts = texts.copy()
+            texts[~hit] = ""
+        return texts
+
+    def verify_batch(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return _PAIRS_EMPTY
+        hit = _VERIFY_LUT_CACHE.get(key)
+        if hit is None:
+            _VERIFY_LUT_CACHE.clear()  # at most ONE broadcast corpus per worker
+            tab = ray.get(texts_ref)
+            hit = _VERIFY_LUT_CACHE[key] = (
+                tab,
+                tab["doc_id"].to_numpy(zero_copy_only=False),
+            )
+        tab, ids_sorted = hit
+        df = df.drop_duplicates(["doc_a", "doc_b"])
+        a = df.doc_a.to_numpy().astype(np.int64)
+        b = df.doc_b.to_numpy().astype(np.int64)
+        ta = lookup(tab, ids_sorted, a)
+        tb = lookup(tab, ids_sorted, b)
+        return _jaccard_pairs_kernel(
+            a, b, ta, tb, shingle_fn, shingle_batch_fn, threshold
+        )
+
+    # whole blocks as batches: candidates within a block heavily share
+    # docs, so one kernel call per block shingles each unique doc once
+    # instead of once per 1024-row slice
+    return pairs.map_batches(verify_batch, batch_format="pandas", batch_size=None)
+
+
+def broadcast_texts_ref(docs: rd.Dataset):
+    """``ray.put`` a doc_id-sorted ``(doc_id, text)`` ARROW table of a
+    SMALL docs dataset (the caller must have gated on
+    ``EngineConfig.broadcast_join_rows``). Arrow large_string keeps the
+    object-store copy zero-copy-mappable in every worker."""
+    import ray
+
+    df = docs.to_pandas().sort_values("doc_id")
+    return ray.put(
+        pa.table(
+            {
+                "doc_id": pa.array(df.doc_id.to_numpy(np.int64), pa.int64()),
+                "text": pa.array(
+                    df.text.fillna("").astype(str).tolist(), pa.large_string()
+                ),
+            }
+        )
     )
 
 
@@ -447,48 +668,9 @@ def verify_pairs_jaccard_ds(
         b = g.doc_b.to_numpy()[0::2]
         ta = g.text.to_numpy()[0::2]
         tb = g.text.to_numpy()[1::2]
-        # shingle each UNIQUE doc once (text parse is the only per-doc
-        # Python left), then verify ALL pairs in one vectorized pass:
-        # concatenate both docs' sorted-unique shingle arrays per pair
-        # tagged with the pair index, lexsort, and count adjacent equal
-        # (tag, value) entries — that count IS |A ∩ B| because each side
-        # is unique, so a value appearing twice within one pair's span
-        # must come from both sides. Replaces a per-pair intersect1d loop
-        # that dominated the query at 10^6 candidates (87 s → ~4 s).
-        docs_cat = np.concatenate([a, b])
-        texts_cat = np.concatenate([ta, tb])
-        uniq, inv = np.unique(docs_cat, return_inverse=True)
-        first = np.zeros(len(uniq), dtype=np.int64)
-        first[inv[::-1]] = np.arange(len(docs_cat) - 1, -1, -1)
-        if shingle_batch_fn is not None:
-            # one vectorized call for the whole group's unique docs (4.5x
-            # less shingle CPU than per-doc dispatch, byte-identical)
-            shingles = shingle_batch_fn([texts_cat[i] for i in first])
-        else:
-            shingles = [shingle_fn(texts_cat[i]) for i in first]
-        sizes = np.array([len(s) for s in shingles], dtype=np.int64)
-        la, lb = sizes[inv[: len(a)]], sizes[inv[len(a) :]]
-        npairs = len(a)
-        tags = np.repeat(
-            np.tile(np.arange(npairs, dtype=np.int64), 2), sizes[inv]
+        return _jaccard_pairs_kernel(
+            a, b, ta, tb, shingle_fn, shingle_batch_fn, threshold
         )
-        vals = (
-            np.concatenate([shingles[i] for i in inv])
-            if len(inv)
-            else np.empty(0, np.uint64)
-        )
-        order = np.lexsort((vals, tags))
-        tags, vals = tags[order], vals[order]
-        eq = (tags[1:] == tags[:-1]) & (vals[1:] == vals[:-1])
-        inter = np.bincount(tags[1:][eq], minlength=npairs)
-        union = la + lb - inter
-        jac = np.round(
-            np.divide(inter, union, out=np.ones(npairs, float), where=union > 0), 6
-        )
-        out = pd.DataFrame(
-            {"doc_a": a.astype(np.int64), "doc_b": b.astype(np.int64), "jaccard": jac}
-        )
-        return out[out.jaccard >= threshold]
 
     return (
         halves_txt.map_batches(pair_group_key, batch_format="pandas")
@@ -516,7 +698,11 @@ def verify_pairs_jaccard(
 
 
 def minhash_neardup_pairs(
-    docs: rd.Dataset, nd: int, threshold: float = 0.6, max_bucket: int | None = None
+    docs: rd.Dataset,
+    nd: int,
+    threshold: float = 0.6,
+    max_bucket: int | None = None,
+    verify_mode: str = "auto",
 ) -> pd.DataFrame:
     """MinHash+LSH near-dup core over any ``(doc_id, text)`` dataset,
     fully distributed (nothing corpus- or candidate-scale ever reaches
@@ -569,15 +755,25 @@ def minhash_neardup_pairs(
             keys = g.bkey.to_numpy()
         A, B = dd.bucket_pair_indices(keys)
         if not len(A):
-            return _HALVES_EMPTY
+            return _HALVES_EMPTY if not use_bcast else _PAIRGEN_EMPTY
         ids = g.doc_id.to_numpy()
         out = pd.DataFrame({"doc_a": ids[A], "doc_b": ids[B]}).drop_duplicates(
             ["doc_a", "doc_b"]
         )
+        if use_bcast:
+            return out
         # emit verify-ready half rows straight from the pairgen group —
         # fuses away the tail's dedicated half-explode map pass
         return make_pair_halves(out.doc_a.to_numpy(), out.doc_b.to_numpy(), ng)
 
+    from .config import DEFAULT_CONFIG
+
+    # "auto" = the q_bloom_join broadcast-vs-partition switch; tests pin
+    # "broadcast"/"shuffle" to exercise both paths at one scale
+    use_bcast = (
+        verify_mode == "broadcast"
+        or (verify_mode == "auto" and nd <= DEFAULT_CONFIG.broadcast_join_rows)
+    )
     keyed = bands.map_batches(band_key, batch_format="pandas")
     # CONDITIONAL coalesce before the band sort: the sort pays a
     # per-(input-block x output-partition) slice cost, so when the band
@@ -592,6 +788,28 @@ def minhash_neardup_pairs(
     if est_blocks > 2 * ng:
         keyed = keyed.repartition(ng, shuffle=False)
     pairs = keyed.groupby("_sg").map_groups(pairs_in_supergroup, batch_format="pandas")
+    if use_bcast:
+        # SMALL corpus (<= broadcast_join_rows): map-side verify against
+        # broadcast texts — the whole query runs ONE sort DAG (the band
+        # shuffle). A pair found in two DIFFERENT band super-groups is
+        # verified twice; kept pairs are sparse, so the dedup rides the
+        # driver collect.
+        kept = verify_pairs_broadcast_ds(
+            pairs,
+            broadcast_texts_ref(docs),
+            threshold,
+            dd.char_shingles,
+            shingle_batch_fn=dd.char_shingles_batch,
+        ).to_pandas()
+        if not len(kept):
+            return _PAIRS_EMPTY
+        kept["doc_a"] = kept.doc_a.astype(np.int64)
+        kept["doc_b"] = kept.doc_b.astype(np.int64)
+        return (
+            kept.drop_duplicates(["doc_a", "doc_b"])
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
     return verify_pairs_jaccard(
         pairs,
         docs,
@@ -663,7 +881,11 @@ _NGRAM_PAIRS_CTES = """
 
 
 def ngram_jaccard_pairs_ds(
-    sf_dir: str, threshold: float = 0.5, df_cap: int = 50, min_shared: int = 2
+    sf_dir: str,
+    threshold: float = 0.5,
+    df_cap: int = 50,
+    min_shared: int = 2,
+    verify_mode: str = "auto",
 ) -> tuple[rd.Dataset, int]:
     """EXACT word-3-gram Jaccard near-dup — the deterministic sibling of
     MinHash (no LSH approximation, hence fully SQL-checkable):
@@ -769,10 +991,22 @@ def ngram_jaccard_pairs_ds(
         # no dedicated half-explode map downstream.
         g = g.groupby(["doc_a", "doc_b"], as_index=False)["nsh"].sum()
         g = g.loc[g.nsh >= min_shared]
+        if use_bcast:
+            # pair-keyed shuffle makes each surviving pair GLOBALLY unique
+            # here, so the map-side verify needs no downstream dedup
+            return g[["doc_a", "doc_b"]] if len(g) else _PAIRGEN_EMPTY
         if not len(g):
             return _HALVES_EMPTY
         return make_pair_halves(g.doc_a.to_numpy(), g.doc_b.to_numpy(), ng)
 
+    from .config import DEFAULT_CONFIG
+
+    # "auto" = the q_bloom_join broadcast-vs-partition switch; tests pin
+    # "broadcast"/"shuffle" to exercise both paths at one scale
+    use_bcast = (
+        verify_mode == "broadcast"
+        or (verify_mode == "auto" and nd <= DEFAULT_CONFIG.broadcast_join_rows)
+    )
     postings = docs.map_batches(explode, batch_format="pandas", batch_size=512)
     # same estimate-gated coalesce as the minhash band table: the posting
     # sort pays per-(block x partition) slice cost when the read fragments
@@ -786,6 +1020,21 @@ def ngram_jaccard_pairs_ds(
     pairs = cand_counts.groupby("_sg").map_groups(
         shared_count_filter, batch_format="pandas"
     )
+    if use_bcast:
+        # SMALL corpus: map-side verify against broadcast texts (the
+        # q_bloom_join broadcast-vs-partition switch) — drops the verify
+        # tail's two shuffles; survivors of the pair-keyed count shuffle
+        # are globally unique, so no dedup is needed anywhere
+        return (
+            verify_pairs_broadcast_ds(
+                pairs,
+                broadcast_texts_ref(docs),
+                threshold,
+                dd.word_ngram_ids,
+                shingle_batch_fn=dd.word_ngram_ids_batch,
+            ),
+            nd,
+        )
     return (
         verify_pairs_jaccard_ds(
             pairs,

@@ -317,3 +317,116 @@ class TestSynthDocumentsScaleDemo:
         # background false positives are possible only via real Jaccard
         # >= 0.6 coincidences; verify any extras are genuine
         assert (pairs.jaccard >= 0.6).all()
+
+
+class TestJaccardKernelBranches:
+    """The verify kernel dispatches between three exact algorithms by data
+    shape (bitset for small shingle universes, inverted-index co-occurrence,
+    pair-expanded sort for hot-shingle degenerates) — all three must match
+    a per-pair intersect1d brute force bit for bit."""
+
+    @staticmethod
+    def _brute(a, b, ta, tb, thr, fn):
+        rows = []
+        for i in range(len(a)):
+            sa, sb = fn(ta[i]), fn(tb[i])
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            u = len(sa) + len(sb) - inter
+            j = round(inter / u, 6) if u else 1.0
+            rows.append((int(a[i]), int(b[i]), j))
+        df = pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+        return df[df.jaccard >= thr].reset_index(drop=True)
+
+    def _check(self, texts, thr, fn, batch_fn):
+        from citygml2objv2_ray import relational_ml as rml
+
+        rng = np.random.default_rng(3)
+        arr = np.array(texts, dtype=object)
+        ids = np.arange(len(arr), dtype=np.int64)
+        a = rng.choice(ids, 800)
+        b = rng.choice(ids, 800)
+        k = a != b
+        a, b = a[k], b[k]
+        got = (
+            rml._jaccard_pairs_kernel(a, b, arr[a], arr[b], fn, batch_fn, thr)
+            .reset_index(drop=True)
+            .astype({"doc_a": np.int64, "doc_b": np.int64})
+        )
+        want = self._brute(a, b, arr[a], arr[b], thr, fn)
+        pd.testing.assert_frame_equal(got, want)
+        return got
+
+    def test_small_universe_bitset(self):
+        # tiny alphabet -> few distinct shingles -> bitset branch
+        from citygml2objv2_ray import dedup as dd
+
+        rng = np.random.default_rng(5)
+        texts = [
+            "".join(rng.choice(list("ab cd"), rng.integers(0, 60)).tolist())
+            for _ in range(120)
+        ]
+        texts[3] = ""
+        self._check(texts, 0.2, dd.char_shingles, dd.char_shingles_batch)
+
+    def test_large_universe(self):
+        # long random strings over a wide alphabet -> falls past the bitset
+        # cap into the inverted/expanded branches
+        import string
+
+        from citygml2objv2_ray import dedup as dd
+
+        rng = np.random.default_rng(6)
+        alpha = list(string.ascii_letters + string.digits + " ")
+        texts = ["".join(rng.choice(alpha, 400).tolist()) for _ in range(80)]
+        texts += texts[:8]  # exact dups -> jaccard 1.0 pairs
+        self._check(texts, 0.1, dd.char_shingles, dd.char_shingles_batch)
+
+    def test_degenerate_identical_corpus(self):
+        # every doc identical -> hot shingles -> expand fallback, all 1.0
+        from citygml2objv2_ray import dedup as dd
+
+        got = self._check(
+            ["the same text in every document of this corpus"] * 100,
+            0.5,
+            dd.char_shingles,
+            dd.char_shingles_batch,
+        )
+        assert (got.jaccard == 1.0).all() and len(got)
+
+    def test_word_ngram_family(self):
+        from citygml2objv2_ray import dedup as dd
+
+        rng = np.random.default_rng(7)
+        vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+        texts = [
+            " ".join(rng.choice(vocab, rng.integers(0, 12)).tolist())
+            for _ in range(100)
+        ]
+        self._check(texts, 0.2, dd.word_ngram_ids, dd.word_ngram_ids_batch)
+
+
+class TestVerifyPathEquality:
+    def test_broadcast_equals_shuffle(self, ray_session):
+        """The map-side broadcast verify (small corpora) and the fully
+        distributed two-shuffle verify must produce identical kept pairs."""
+        import ray.data as rd
+
+        from citygml2objv2_ray import relational_ml as rml
+        from citygml2objv2_ray.ops import derive_num_blocks
+
+        docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        nd = docs.num_rows
+
+        def ds():
+            return rd.read_parquet(
+                f"{SF}/documents.parquet",
+                columns=["doc_id", "text"],
+                override_num_blocks=derive_num_blocks(nd, target_rows=2048),
+            )
+
+        a = rml.minhash_neardup_pairs(ds(), nd, 0.6, verify_mode="broadcast")
+        b = rml.minhash_neardup_pairs(ds(), nd, 0.6, verify_mode="shuffle")
+        assert len(a) > 0
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True)
+        )
