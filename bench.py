@@ -294,6 +294,34 @@ def run_bench() -> dict:
     if spaths:
         _sh.rmtree(os.path.dirname(spaths[0]), ignore_errors=True)
 
+    # streaming dedup at the same scale (VERDICT r4 item 3): keep-first on
+    # (user_id, event_type) — 4M distinct keys over 10M rows, spill mode;
+    # kept rows are checked row-identical to the batch keep-first via a
+    # DuckDB (count, min-event_id-per-key checksum) comparison over the
+    # same parquet
+    t0 = time.perf_counter()
+    dpaths, dstats = _st.stream_dedup_path(
+        ev_path, n_shards=8, batch_size=65536, collect=False
+    )
+    dt = time.perf_counter() - t0
+    queries["stream_dedup_10m"] = round(dt, 3)
+    queries["stream_dedup_10m_rows_s"] = int(n_ev / dt)
+    queries["stream_dedup_10m_kept"] = int(dstats["n_seen"])
+    assert dstats["n_seen"] + dstats["n_dropped"] == n_ev, dstats
+    import duckdb as _duck
+
+    got = _duck.sql(
+        f"SELECT COUNT(*) AS n, SUM(event_id) AS s FROM read_parquet({dpaths!r})"
+    ).fetchone()
+    want = _duck.sql(
+        f"""SELECT COUNT(*) AS n, CAST(SUM(m) AS BIGINT) AS s FROM (
+              SELECT MIN(event_id) AS m FROM read_parquet('{ev_path}')
+              GROUP BY user_id, event_type)"""
+    ).fetchone()
+    assert got == want, (got, want)
+    if dpaths:
+        _sh.rmtree(os.path.dirname(dpaths[0]), ignore_errors=True)
+
     return {
         "metric": "spatial-join + tile-assignment throughput",
         "value": round(headline, 3),

@@ -181,16 +181,31 @@ class StreamingDeduper(_ReorderBuffer):
         spill_dir: str | None = None,
         shard_id: int = 0,
         spill_rows: int = 65536,
+        etype_names: list[str] | None = None,
     ):
-        self.seen: set = set()
+        self._seen_sorted = np.empty(0, dtype=np.int64)
+        self._recent = np.empty(0, dtype=np.int64)
         self.n_dropped = 0
         self.spill_dir = spill_dir
         self.shard_id = int(shard_id)
         self.spill_rows = int(spill_rows)
+        # dictionary-decode hook: routed frames carry event_type as a
+        # small-int code (all-int frames serialize ~10x faster through the
+        # object store than per-row object strings); the string column is
+        # reconstructed only at the spill/drain boundary
+        self.etype_names = list(etype_names) if etype_names is not None else None
         self._buf: list[pd.DataFrame] = []
         self._buf_rows = 0
         self._paths: list[str] = []
         self._init_order(start_seq)
+
+    def _decode(self, out: pd.DataFrame) -> pd.DataFrame:
+        if self.etype_names is not None and "etype_code" in out.columns:
+            codes = out.etype_code.to_numpy()
+            out = out.drop(columns=["etype_code"]).assign(
+                event_type=np.asarray(self.etype_names, dtype=object)[codes]
+            )
+        return out.drop(columns=["key"], errors="ignore")
 
     def _apply(self, df) -> None:
         kept = self.ingest(df)
@@ -208,20 +223,43 @@ class StreamingDeduper(_ReorderBuffer):
         path = os.path.join(
             self.spill_dir, f"shard{self.shard_id:03d}-part{len(self._paths):05d}.parquet"
         )
-        out = pd.concat(self._buf, ignore_index=True).drop(columns=["key"], errors="ignore")
+        out = self._decode(pd.concat(self._buf, ignore_index=True))
         pq.write_table(pa.Table.from_pandas(out, preserve_index=False), path)
         self._paths.append(path)
         self._buf, self._buf_rows = [], 0
 
     def ingest(self, df: pd.DataFrame) -> pd.DataFrame:
         """One arrival-order micro-batch slice (this shard's keys only) →
-        the rows whose key is seen for the FIRST time, in arrival order."""
-        first_in_batch = ~df["key"].duplicated()
-        novel_mask = first_in_batch & ~df["key"].isin(self.seen)
+        the rows whose key is seen for the FIRST time, in arrival order.
+
+        Seen-key state is a big SORTED array plus a small recent tier
+        (merged in when it passes 64k): membership is two searchsorted
+        passes. A python-set ``isin`` re-materialized the whole set as an
+        object array every batch — measured as the dominant cost at 10M
+        rows / 4M keys."""
+        arr = df["key"].to_numpy()
+        first_in_batch = ~df["key"].duplicated().to_numpy()
+        novel_mask = first_in_batch & ~self._member(arr)
         out = df[novel_mask]
-        self.seen.update(out["key"].tolist())
+        if novel_mask.any():
+            self._recent = np.union1d(self._recent, arr[novel_mask]) if len(self._recent) else np.unique(arr[novel_mask])
+            if len(self._recent) >= 65536:
+                self._seen_sorted = (
+                    np.union1d(self._seen_sorted, self._recent)
+                    if len(self._seen_sorted)
+                    else self._recent
+                )
+                self._recent = self._recent[:0]
         self.n_dropped += int(len(df) - len(out))
         return out
+
+    def _member(self, arr: np.ndarray) -> np.ndarray:
+        mask = np.zeros(len(arr), dtype=bool)
+        for tier in (self._seen_sorted, self._recent):
+            if len(tier):
+                pos = np.minimum(np.searchsorted(tier, arr), len(tier) - 1)
+                mask |= tier[pos] == arr
+        return mask
 
     def drain(self) -> dict:
         """Routed-path terminal call: spill/return the remaining kept rows;
@@ -233,16 +271,14 @@ class StreamingDeduper(_ReorderBuffer):
             if self._buf_rows:
                 self._spill()
         else:
-            rows = (
-                pd.concat(self._buf, ignore_index=True)
-                if self._buf
-                else pd.DataFrame()
-            )
+            rows = pd.concat(self._buf, ignore_index=True) if self._buf else pd.DataFrame()
+            if self.etype_names is not None and len(rows):
+                rows = self._decode(rows)
             self._buf, self._buf_rows = [], 0
         return {"paths": self._paths, "rows": rows, "stats": self.stats()}
 
     def stats(self) -> dict:
-        return {"n_seen": len(self.seen), "n_dropped": self.n_dropped}
+        return {"n_seen": int(len(self._seen_sorted) + len(self._recent)), "n_dropped": self.n_dropped}
 
 
 def routed_start_seq(path: str, col: str = "event_id") -> int:
@@ -415,7 +451,19 @@ def q_stream_window_hourly(sf_dir: str) -> pd.DataFrame:
 def stream_dedup_first(
     sf_dir: str, n_shards: int = 4, batch_size: int = 8192, collect: bool = True
 ):
-    """Streaming exact dedup of the events table on (user_id, event_type)
+    """Streaming exact dedup of the driver events table on
+    (user_id, event_type) — see ``stream_dedup_path``."""
+    from .relational import _t
+
+    return stream_dedup_path(
+        _t(sf_dir, "events"), n_shards=n_shards, batch_size=batch_size, collect=collect
+    )
+
+
+def stream_dedup_path(
+    events_path: str, n_shards: int = 4, batch_size: int = 8192, collect: bool = True
+):
+    """Streaming exact dedup of an events table on (user_id, event_type)
     in ARRIVAL order, sharded by key hash across the actor pool and FED
     FROM map_batches tasks (no driver data loop): every shard emits its
     first occurrences incrementally and spills them to per-shard parquet
@@ -433,28 +481,48 @@ def stream_dedup_first(
 
     import ray.data as rd
 
-    from .ops import parquet_col_min
-    from .relational import _t
-
-    events_path = _t(sf_dir, "events")
     ds = rd.read_parquet(events_path, columns=["event_id", "user_id", "event_type"])
     start = routed_start_seq(events_path, "event_id")
     spill_dir = tempfile.mkdtemp(prefix="stream_dedup_", dir="/tmp")
+    # dictionary-encode event_type ONCE (driver-side distinct scan of the
+    # one column) so every routed frame is all-int: the original per-row
+    # string key build + object-dtype slices through the object store were
+    # the measured bottleneck at 10M rows (0.16M rows/s; int frames ~1M)
+    import duckdb
+
+    etypes = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT DISTINCT event_type FROM read_parquet('{events_path}')"
+        ).fetchall()
+    )
+    et_arr = np.array(etypes, dtype=object)
+    n_et = len(etypes)
     shards = [
         StreamingDeduper.remote(
-            start_seq=start, spill_dir=spill_dir, shard_id=i
+            start_seq=start, spill_dir=spill_dir, shard_id=i, etype_names=etypes
         )
         for i in range(n_shards)
     ]
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(
-            key=df.user_id.astype(str) + "\x00" + df.event_type.astype(str)
+        code = np.searchsorted(et_arr, df.event_type.to_numpy())
+        uid = df.user_id.to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": df.event_id.to_numpy(np.int64),
+                "user_id": uid,
+                "etype_code": code.astype(np.int16),
+                "key": uid * np.int64(n_et) + code,
+            }
         )
 
     def shard_of(df: pd.DataFrame) -> np.ndarray:
-        h = pd.util.hash_pandas_object(df.key, index=False).to_numpy()
-        return (h % np.uint64(n_shards)).astype(np.int64)
+        # splitmix64-style mix of the int key
+        z = df.key.to_numpy().astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return ((z ^ (z >> np.uint64(31))) % np.uint64(n_shards)).astype(np.int64)
 
     route_stream(ds, shards, shard_of, prep=prep, seq_col="event_id", batch_size=batch_size)
     drains = ray.get([s.drain.remote() for s in shards])
@@ -806,6 +874,9 @@ class StreamingIntervalJoiner(_ReorderBuffer):
         window_us: int,
         allowed_lateness_us: int,
         start_seq: int | None = None,
+        spill_dir: str | None = None,
+        shard_id: int = 0,
+        spill_rows: int = 65536,
     ):
         self.window = int(window_us)
         self.lateness = int(allowed_lateness_us)
@@ -815,7 +886,15 @@ class StreamingIntervalJoiner(_ReorderBuffer):
         self._clicks: pd.DataFrame | None = None
         self._purchases: pd.DataFrame | None = None
         self._last_finalize_wm = np.iinfo(np.int64).min
+        # emitted output scales with the purchase stream — same per-shard
+        # parquet spill contract as StreamingDeduper/StreamingSessionizer
+        # so a long run never concentrates output in actor memory
         self._emitted: list[pd.DataFrame] = []
+        self._emitted_rows = 0
+        self.spill_dir = spill_dir
+        self.shard_id = int(shard_id)
+        self.spill_rows = int(spill_rows)
+        self._paths: list[str] = []
         self._init_order(start_seq)
 
     def _apply(self, df: pd.DataFrame) -> None:
@@ -852,8 +931,25 @@ class StreamingIntervalJoiner(_ReorderBuffer):
         fin = pur[fin_mask]
         self._purchases = pur[~fin_mask]
         if len(fin):
-            self._emitted.append(self._count_window(fin))
+            out = self._count_window(fin)
+            self._emitted.append(out)
+            self._emitted_rows += len(out)
+            if self.spill_dir is not None and self._emitted_rows >= self.spill_rows:
+                self._spill()
         self._prune_clicks()
+
+    def _spill(self) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.spill_dir, exist_ok=True)
+        path = os.path.join(
+            self.spill_dir, f"shard{self.shard_id:03d}-part{len(self._paths):05d}.parquet"
+        )
+        out = pd.concat(self._emitted, ignore_index=True)
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), path)
+        self._paths.append(path)
+        self._emitted, self._emitted_rows = [], 0
 
     def _count_window(self, pur: pd.DataFrame) -> pd.DataFrame:
         clicks = self._clicks
@@ -891,18 +987,25 @@ class StreamingIntervalJoiner(_ReorderBuffer):
     def drain(self) -> dict:
         self._drain_pending()
         self.flush()
-        rows = (
-            pd.concat(self._emitted, ignore_index=True)
-            if self._emitted
-            else pd.DataFrame(
-                {
-                    "purchase_id": pd.Series(dtype=np.int64),
-                    "n_recent_clicks": pd.Series(dtype=np.int64),
-                }
+        rows = None
+        if self.spill_dir is not None:
+            if self._emitted_rows:
+                self._spill()
+        else:
+            rows = (
+                pd.concat(self._emitted, ignore_index=True)
+                if self._emitted
+                else pd.DataFrame(
+                    {
+                        "purchase_id": pd.Series(dtype=np.int64),
+                        "n_recent_clicks": pd.Series(dtype=np.int64),
+                    }
+                )
             )
-        )
+            self._emitted, self._emitted_rows = [], 0
         return {
             "rows": rows,
+            "paths": self._paths,
             "stats": {
                 "late_dropped": self.late_dropped,
                 "n_processed": self.n_processed,
@@ -918,21 +1021,51 @@ def stream_interval_join(
     batch_size: int = 8192,
     n_shards: int = 4,
 ) -> tuple[pd.DataFrame, dict]:
-    """Sharded streaming interval join over the events table, routed from
-    map_batches tasks like the other streaming operators."""
-    import ray.data as rd
-
-    from .ops import parquet_col_min
+    """Sharded streaming interval join over the driver events table — see
+    ``stream_interval_join_path``."""
     from .relational import _t
 
-    events_path = _t(sf_dir, "events")
+    return stream_interval_join_path(
+        _t(sf_dir, "events"),
+        window_us=window_us,
+        allowed_lateness_us=allowed_lateness_us,
+        batch_size=batch_size,
+        n_shards=n_shards,
+    )
+
+
+def stream_interval_join_path(
+    events_path: str,
+    window_us: int = 1_800_000_000,
+    allowed_lateness_us: int = 86_400_000_000,
+    batch_size: int = 8192,
+    n_shards: int = 4,
+    collect: bool = True,
+):
+    """Sharded streaming interval join over an events table, routed from
+    map_batches tasks like the other streaming operators. Emitted
+    (purchase_id, n_recent_clicks) rows scale with the purchase stream,
+    so with ``collect=False`` each shard spills them to per-shard parquet
+    and the driver receives only file paths (the 100-TB form, same spill
+    contract as dedup/sessionize)."""
+    import tempfile
+
+    import ray.data as rd
+
     ds = rd.read_parquet(
         events_path, columns=["event_id", "user_id", "event_type", "ts"]
     )
     start = routed_start_seq(events_path, "event_id")
+    spill_dir = None if collect else tempfile.mkdtemp(prefix="stream_ij_", dir="/tmp")
     shards = [
-        StreamingIntervalJoiner.remote(window_us, allowed_lateness_us, start_seq=start)
-        for _ in range(n_shards)
+        StreamingIntervalJoiner.remote(
+            window_us,
+            allowed_lateness_us,
+            start_seq=start,
+            spill_dir=spill_dir,
+            shard_id=i,
+        )
+        for i in range(n_shards)
     ]
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
@@ -953,6 +1086,13 @@ def stream_interval_join(
     drains = ray.get([s.drain.remote() for s in shards])
     for s in shards:
         ray.kill(s)
+    stats = {
+        "late_dropped": int(sum(d["stats"]["late_dropped"] for d in drains)),
+        "n_processed": int(sum(d["stats"]["n_processed"] for d in drains)),
+        "n_shards": n_shards,
+    }
+    if not collect:
+        return [p for d in drains for p in d["paths"]], stats
     parts = [d["rows"] for d in drains if len(d["rows"])]
     df = (
         pd.concat(parts, ignore_index=True)
@@ -961,11 +1101,6 @@ def stream_interval_join(
             {"purchase_id": pd.Series(dtype=np.int64), "n_recent_clicks": pd.Series(dtype=np.int64)}
         )
     )
-    stats = {
-        "late_dropped": int(sum(d["stats"]["late_dropped"] for d in drains)),
-        "n_processed": int(sum(d["stats"]["n_processed"] for d in drains)),
-        "n_shards": n_shards,
-    }
     df = df.sort_values("purchase_id").reset_index(drop=True)
     df["purchase_id"] = df.purchase_id.astype(np.int64)
     df["n_recent_clicks"] = df.n_recent_clicks.astype(np.int64)
@@ -997,7 +1132,12 @@ def q_stream_interval_join(sf_dir: str) -> pd.DataFrame:
 
 
 def synth_events(
-    out_dir: str, n: int = 10_000_000, n_types: int = 8, n_users: int = 500_000, seed: int = 5
+    out_dir: str,
+    n: int = 10_000_000,
+    n_types: int = 8,
+    n_users: int = 500_000,
+    seed: int = 5,
+    type_names: list[str] | None = None,
 ) -> str:
     """Deterministic synthetic events table for the streaming SCALE demos
     (cached under ``out_dir`` keyed by params, same pattern as
@@ -1010,7 +1150,10 @@ def synth_events(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    path = os.path.join(out_dir, f"events-n{n}-t{n_types}-u{n_users}-s{seed}-v2.parquet")
+    tag = "" if type_names is None else "-" + "_".join(type_names)[:40]
+    path = os.path.join(
+        out_dir, f"events-n{n}-t{n_types}-u{n_users}-s{seed}{tag}-v2.parquet"
+    )
     if os.path.exists(path):
         return path
     os.makedirs(out_dir, exist_ok=True)
@@ -1021,7 +1164,11 @@ def synth_events(
     ts = base + np.arange(n, dtype=np.int64) * step + rng.integers(
         -3_600_000_000, 3_600_000_000, size=n, dtype=np.int64
     )
-    types = np.array([f"type_{i:02d}" for i in range(n_types)], dtype=object)
+    if type_names is not None:
+        types = np.array(list(type_names), dtype=object)
+        n_types = len(types)
+    else:
+        types = np.array([f"type_{i:02d}" for i in range(n_types)], dtype=object)
     t = pa.table(
         {
             "event_id": pa.array(np.arange(n, dtype=np.int64)),
