@@ -474,6 +474,51 @@ def triangulate_2d(
     return np.array([[poly[a], poly[b], poly[c]] for a, b, c in tris]).reshape(-1, 3, 2)
 
 
+_FAN_EPS = 1e-6  # strict-convexity margin, far above earcut's 1e-12/1e-14
+
+
+def convex_fan(body3d: np.ndarray, axis: int) -> np.ndarray | None:
+    """Fast path for STRICTLY convex hole-free polygons: the ear-clip loop
+    on a strictly convex CCW ring always clips at k=0, producing the fan
+    (n-1, 0, 1), (n-1, 1, 2), ..., ending with the tuple (n-3, n-2, n-1)
+    — so the fan IS the ear-clip output, emitted here without the O(n^2)
+    scan, the 2-D lift, or any per-ear allocation. Returns None (caller
+    falls through to the full ear clip) unless every turning cross AND
+    every fan-triangle cross clears ``_FAN_EPS`` — margins 10^6 above the
+    ear clip's decision epsilons, so in the disagreement band both
+    algorithms produce identical triangles anyway.
+
+    ``body3d`` is the cleaned OPEN exterior ring (n >= 3)."""
+    uv = project_ring(body3d, axis)
+    u, v = uv[:, 0], uv[:, 1]
+    un, vn = np.roll(u, -1), np.roll(v, -1)
+    area2 = float(np.sum(u * vn - un * v))
+    if area2 == 0.0:
+        return None
+    if area2 < 0:
+        body3d = body3d[::-1]
+        uv = uv[::-1]
+        u, v = uv[:, 0], uv[:, 1]
+        un, vn = np.roll(u, -1), np.roll(v, -1)
+    up, vp = np.roll(u, 1), np.roll(v, 1)
+    tc = (u - up) * (vn - v) - (v - vp) * (un - u)
+    if not np.all(tc > _FAN_EPS):
+        return None
+    fu, fv = u - u[-1], v - v[-1]
+    g = fu[:-1] * fv[1:] - fu[1:] * fv[:-1]
+    if len(g) > 1:
+        g = g[:-1]  # last entry is the degenerate (n-2, n-1) pair
+    if not np.all(g > _FAN_EPS):
+        return None
+    n = len(u)
+    tris = np.empty((n - 2, 3, 3), dtype=np.float64)
+    tris[:, 0] = body3d[n - 1]
+    tris[:, 1] = body3d[0 : n - 2]
+    tris[:, 2] = body3d[1 : n - 1]
+    tris[-1] = body3d[[n - 3, n - 2, n - 1]]
+    return tris
+
+
 def triangulate_polygon(
     exterior: np.ndarray,
     interiors: list[np.ndarray] | None = None,
@@ -499,6 +544,14 @@ def triangulate_polygon(
         axis = projection_axis(normal, ext, cfg)
         holes3d = [clean_ring(np.asarray(h, dtype=np.float64)) for h in interiors or []]
         holes3d = [h for h in holes3d if len(h) >= 4]
+
+        if not holes3d:
+            fan = convex_fan(ext[:-1], axis)
+            if fan is not None:
+                tri_n = np.cross(fan[:, 1] - fan[:, 0], fan[:, 2] - fan[:, 0])
+                flip = tri_n @ normal < 0
+                fan[flip] = fan[flip][:, ::-1, :]
+                return fan
 
         # map each projected 2-D vertex back to its 3-D original
         all3d = [ext[:-1]] + [h[:-1] for h in holes3d]

@@ -291,3 +291,33 @@ class TestColorbar:
         assert (img[0, -1] == want_hi).all()
         label_strip = img[46:, :, :]
         assert (label_strip == 0).all(axis=2).sum() > 50  # rendered digits
+
+
+class TestBatchedTriangulatorParity:
+    def test_batch_equals_rowwise_on_world(self, ray_session):
+        """The segment-vectorized Triangulator fast path must emit exactly
+        the triangles the per-polygon kernel emits, row for row, vertex
+        for vertex, over the whole world surfaces table (convex fans are
+        the ear-clip output on gated rows; everything else falls back)."""
+        import numpy as np
+
+        from citygml2objv2_ray import worlds
+        from citygml2objv2_ray.stages.geometry import Triangulator
+
+        _, surfaces, _ = worlds.load_world(worlds.sf_of_dir("/root/testdata/sf0.001"))
+        tri = Triangulator()
+        got = tri(surfaces)
+        rows = np.arange(surfaces.num_rows)
+        trl, til = tri._rows_fallback(surfaces, rows)
+        want_rows = np.concatenate(trl) if trl else np.zeros(0, np.int64)
+        want_tris = np.concatenate(til) if til else np.zeros((0, 3, 3))
+        assert got.num_rows == len(want_rows) > 0
+        got_p = np.stack(
+            [
+                np.asarray(got["p0"].combine_chunks().flatten()).reshape(-1, 3),
+                np.asarray(got["p1"].combine_chunks().flatten()).reshape(-1, 3),
+                np.asarray(got["p2"].combine_chunks().flatten()).reshape(-1, 3),
+            ],
+            axis=1,
+        )
+        assert np.array_equal(got_p, want_tris)
