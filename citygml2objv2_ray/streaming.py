@@ -360,8 +360,6 @@ def stream_window(
     disorder, the result equals the batch tumbling window."""
     import ray.data as rd
 
-    from .ops import parquet_col_min
-
     ds = rd.read_parquet(
         events_path, columns=["event_id", "event_type", "ts", "value"]
     )
@@ -753,8 +751,6 @@ def stream_sessionize_path(
     import tempfile
 
     import ray.data as rd
-
-    from .ops import parquet_col_min
 
     ds = rd.read_parquet(events_path, columns=["event_id", "user_id", "ts"])
     start = routed_start_seq(events_path, "event_id")
