@@ -199,3 +199,52 @@ class TestMaskedMean:
             assert row.roof_coverage == pytest.approx(float(mask.mean()))
             checked += 1
         assert checked > 5
+
+
+class TestOrphanSweepWithoutLineage:
+    def test_partial_dir_no_lineage_is_wiped_not_appended(self, world, tmp_path):
+        """ADVICE r4 (medium): a crashed first attempt can rename a data
+        file into a part= dir and die BEFORE appending its first lineage
+        row. The resume sweep must wipe that orphan partial even when the
+        lineage log is completely empty — appending to it would duplicate
+        rows and break the exact-resume guarantee."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from citygml2objv2_ray.pipelines.flagship import run_flagship
+
+        surfaces = pq.read_table(world["surfaces"])
+        footprints = pq.read_table(world["footprints"])
+
+        clean_out = str(tmp_path / "clean")
+        r_clean = run_flagship(
+            world["images"], surfaces, footprints, clean_out, concurrency=2, decode=False
+        )
+        want = (
+            r_clean.assignments()
+            .to_pandas()
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+
+        # fresh out_root with an orphan partial partition and NO lineage
+        out = str(tmp_path / "orphan")
+        part_dir = os.path.join(out, "data", "part=0")
+        os.makedirs(part_dir, exist_ok=True)
+        pq.write_table(
+            pa.table({"image_id": pa.array([999_999_001, 999_999_002], pa.int64())}),
+            os.path.join(part_dir, "stale-partial.parquet"),
+        )
+        r = run_flagship(
+            world["images"], surfaces, footprints, out, concurrency=2, decode=False
+        )
+        got = (
+            r.assignments().to_pandas().sort_values("image_id").reset_index(drop=True)
+        )
+        # the stale rows are gone and the output equals the clean run
+        assert not got.image_id.isin([999_999_001, 999_999_002]).any()
+        assert got.image_id.is_unique
+        assert len(got) == len(want)
+        assert got.image_id.tolist() == want.image_id.tolist()
