@@ -154,6 +154,8 @@ def run_bench() -> dict:
         "q_corpus_prep",
         "q_pack_chunks",
         "q_dedup_corpus",
+        "q_decontaminate",
+        "q_repetition_quality",
     ]:
         fn = relational.REGISTRY[name]
         t0 = time.perf_counter()

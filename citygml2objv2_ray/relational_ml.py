@@ -1489,6 +1489,192 @@ def q_corpus_prep(sf_dir: str) -> pd.DataFrame:
     return df[["split", "n_docs", "sum_tokens"]]
 
 
+@query(
+    "q_decontaminate",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER)+1] || ' ' ||
+               ws[CAST(i AS INTEGER)+2] AS g
+        FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 199 = 0),
+    hits AS (
+        SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM grams g JOIN bench USING (g)
+        WHERE g.doc_id % 199 <> 0
+        GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_hits FROM hits ORDER BY doc_id
+    """,
+)
+def q_decontaminate(sf_dir: str, bench_mod: int = 199) -> pd.DataFrame:
+    """Benchmark DECONTAMINATION — the pre-training hygiene pass that drops
+    training documents overlapping an evaluation set. The benchmark here is
+    the deterministic ``doc_id % bench_mod == 0`` slice of the corpus (a
+    stand-in for a real eval set); a training doc is reported with the
+    count of its DISTINCT word-3-grams that appear anywhere in the
+    benchmark's gram set.
+
+    100-TB shape: the benchmark gram set is EVAL-scale (bounded by the
+    benchmark corpus, not the training corpus), so it is built with a
+    distributed per-batch distinct pass, unioned once on the driver, and
+    ``ray.put`` as a sorted uint64 array; the training side is then a pure
+    MAP-side membership scan (batch-vectorized shingling + one
+    searchsorted per batch) — the corpus never shuffles. Same FNV-id gram
+    family as q_ngram_jaccard (exact barring 64-bit collisions)."""
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_grams(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df.doc_id % bench_mod == 0]
+        if not len(sub):
+            return pd.DataFrame({"gid": pd.array([], dtype=np.uint64)})
+        ids = dd.word_ngram_ids_batch(sub.text.fillna("").tolist(), 3)
+        flat = np.concatenate(ids) if ids else np.empty(0, np.uint64)
+        return pd.DataFrame({"gid": np.unique(flat)})
+
+    bench_df = ds.map_batches(bench_grams, batch_format="pandas").to_pandas()
+    bench_ids = np.unique(bench_df.gid.to_numpy(dtype=np.uint64))
+    bench_ref = ray.put(bench_ids)
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.doc_id % bench_mod != 0]
+        if not len(df):
+            return pd.DataFrame(
+                {"doc_id": pd.array([], dtype=np.int64), "n_hits": pd.array([], dtype=np.int64)}
+            )
+        bench = ray.get(bench_ref)
+        ids = dd.word_ngram_ids_batch(df.text.fillna("").tolist(), 3)
+        sizes = np.array([len(s) for s in ids], dtype=np.int64)
+        tags = np.repeat(np.arange(len(df)), sizes)
+        flat = np.concatenate(ids) if len(df) else np.empty(0, np.uint64)
+        if len(bench) and len(flat):
+            pos = np.minimum(np.searchsorted(bench, flat), len(bench) - 1)
+            member = bench[pos] == flat
+        else:
+            member = np.zeros(len(flat), dtype=bool)
+        n_hits = np.bincount(tags[member], minlength=len(df))
+        hit = n_hits > 0
+        return pd.DataFrame(
+            {
+                "doc_id": df.doc_id.to_numpy(np.int64)[hit],
+                "n_hits": n_hits[hit].astype(np.int64),
+            }
+        )
+
+    out = ds.map_batches(scan, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+@query(
+    "q_repetition_quality",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+               len(list_distinct(ws)) AS ndw
+        FROM toks WHERE len(ws) > 0
+    ),
+    g2 AS (
+        SELECT doc_id, ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER)+1] AS g
+        FROM toks, UNNEST(range(1, len(ws))) AS t(i)
+    ),
+    top2 AS (
+        SELECT doc_id, MAX(c) AS maxc
+        FROM (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g)
+        GROUP BY doc_id
+    )
+    SELECT w.doc_id, n_words,
+           ROUND(1 - CAST(ndw AS DOUBLE) / n_words, 6) AS dup_word_frac,
+           ROUND(2.0 * COALESCE(maxc, 0) / n_words, 6) AS top2_frac
+    FROM w LEFT JOIN top2 ON w.doc_id = top2.doc_id
+    ORDER BY w.doc_id
+    """,
+)
+def q_repetition_quality(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style within-document REPETITION metrics — the quality
+    signals a pre-training filter thresholds: duplicate-word fraction
+    (1 - distinct/total) and the fraction of words covered by the most
+    frequent word 2-gram. Pure map-side (one vectorized pass per batch,
+    per-batch factorize for word codes — no cross-batch identity needed),
+    so the corpus never shuffles; thresholds are the CALLER's policy, the
+    operator reports the metrics."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def metrics(df: pd.DataFrame) -> pd.DataFrame:
+        words_all: list[str] = []
+        counts = np.empty(len(df), dtype=np.int64)
+        for i, t in enumerate(df.text.fillna("")):
+            ws = t.lower().split()
+            words_all.extend(ws)
+            counts[i] = len(ws)
+        keep = counts > 0
+        if not keep.any():
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.array([], dtype=np.int64),
+                    "n_words": pd.array([], dtype=np.int64),
+                    "dup_word_frac": pd.array([], dtype=float),
+                    "top2_frac": pd.array([], dtype=float),
+                }
+            )
+        codes, uniq = pd.factorize(np.array(words_all, dtype=object))
+        codes = codes.astype(np.int64)
+        K = np.int64(len(uniq) + 1)
+        tags = np.repeat(np.arange(len(df), dtype=np.int64), counts)
+        # distinct words per doc: unique (tag, code) pairs
+        pair = tags * K + codes
+        ndw = np.bincount(
+            (np.unique(pair) // K).astype(np.int64), minlength=len(df)
+        )
+        # max 2-gram multiplicity per doc: gram key over in-doc adjacent
+        # positions, sort, RLE, per-doc max over run lengths
+        maxc = np.zeros(len(df), dtype=np.int64)
+        if len(codes) > 1:
+            same_doc = tags[1:] == tags[:-1]
+            gt = tags[:-1][same_doc]
+            ga = codes[:-1][same_doc]
+            gb = codes[1:][same_doc]
+            if len(gt):
+                order = np.lexsort((gb, ga, gt))
+                gt, ga, gb = gt[order], ga[order], gb[order]
+                starts = np.flatnonzero(
+                    np.concatenate(
+                        [
+                            [True],
+                            (gt[1:] != gt[:-1])
+                            | (ga[1:] != ga[:-1])
+                            | (gb[1:] != gb[:-1]),
+                        ]
+                    )
+                )
+                lens = np.diff(np.concatenate([starts, [len(gt)]]))
+                np.maximum.at(maxc, gt[starts], lens)
+        nw = counts[keep].astype(np.float64)
+        return pd.DataFrame(
+            {
+                "doc_id": df.doc_id.to_numpy(np.int64)[keep],
+                "n_words": counts[keep],
+                "dup_word_frac": np.round(1.0 - ndw[keep] / nw, 6),
+                "top2_frac": np.round(2.0 * maxc[keep] / nw, 6),
+            }
+        )
+
+    out = ds.map_batches(metrics, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 PACK_BUDGET = 2048  # tokens per training chunk (GPT-style doc packing)
 
 
