@@ -218,6 +218,21 @@ def run_bench() -> dict:
     queries["minhash_neardup_300k"] = round(time.perf_counter() - t0, 3)
     queries["minhash_neardup_300k_pairs"] = int(len(mh_pairs))
 
+    # same corpus through the FULLY DISTRIBUTED two-shuffle verify (the
+    # >broadcast_verify_rows path a 100-TB corpus takes) so regressions in
+    # the scale path stay visible even though auto picks broadcast here
+    t0 = time.perf_counter()
+    mh_docs2 = _rd.read_parquet(
+        docs_path,
+        columns=["doc_id", "text"],
+        override_num_blocks=derive_num_blocks(n_docs, target_rows=2048),
+    )
+    mh_pairs_sh = minhash_neardup_pairs(
+        mh_docs2, n_docs, threshold=0.6, verify_mode="shuffle"
+    )
+    queries["minhash_neardup_300k_shuffle"] = round(time.perf_counter() - t0, 3)
+    assert len(mh_pairs_sh) == len(mh_pairs), (len(mh_pairs_sh), len(mh_pairs))
+
     # connected-components scale demo (VERDICT r3 item 5): dup CLUSTERS of
     # the 300k corpus's verified pair graph — hash-to-min over supergroup
     # shuffles, rounds-to-fixpoint recorded (the O(log n) claim's datapoint)

@@ -772,7 +772,7 @@ def minhash_neardup_pairs(
     # "broadcast"/"shuffle" to exercise both paths at one scale
     use_bcast = (
         verify_mode == "broadcast"
-        or (verify_mode == "auto" and nd <= DEFAULT_CONFIG.broadcast_join_rows)
+        or (verify_mode == "auto" and nd <= DEFAULT_CONFIG.broadcast_verify_rows)
     )
     keyed = bands.map_batches(band_key, batch_format="pandas")
     # CONDITIONAL coalesce before the band sort: the sort pays a
@@ -1005,7 +1005,7 @@ def ngram_jaccard_pairs_ds(
     # "broadcast"/"shuffle" to exercise both paths at one scale
     use_bcast = (
         verify_mode == "broadcast"
-        or (verify_mode == "auto" and nd <= DEFAULT_CONFIG.broadcast_join_rows)
+        or (verify_mode == "auto" and nd <= DEFAULT_CONFIG.broadcast_verify_rows)
     )
     postings = docs.map_batches(explode, batch_format="pandas", batch_size=512)
     # same estimate-gated coalesce as the minhash band table: the posting
