@@ -1239,10 +1239,13 @@ def q_simhash(sf_dir: str) -> pd.DataFrame:
 @query(
     "q_ann_topk",
     """
-    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    -- DOUBLE[] casts: float32 list_cosine_similarity returns FLOAT whose
+    -- representation error (~1e-8) breaks the exact 4-dp hash compare
+    WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         q AS (SELECT vec_id, emb FROM d WHERE vec_id < 10),
          s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-                      list_cosine_similarity(q.embedding, e.embedding) AS cos
-               FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.vec_id)
+                      list_cosine_similarity(q.emb, e.emb) AS cos
+               FROM q CROSS JOIN d e WHERE e.vec_id != q.vec_id)
     SELECT query_id, neighbor_id, ROUND(cos, 4) AS score
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s)
     WHERE rn <= 5 ORDER BY query_id, score DESC, neighbor_id
@@ -1299,10 +1302,13 @@ def q_ann_topk(sf_dir: str) -> pd.DataFrame:
 @query(
     "q_embedding_neardup",
     """
+    -- DOUBLE[] casts: see q_ann_topk (float32 FLOAT results hash-mismatch)
+    WITH d AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id AND a.label = b.label
-    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+           ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS cos
+    FROM d a JOIN d b ON a.vec_id < b.vec_id AND a.label = b.label
+    WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3
     ORDER BY vec_a, vec_b
     """,
 )
